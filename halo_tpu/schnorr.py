@@ -1,0 +1,43 @@
+"""Schnorr signatures over the Pasta curves with Poseidon message hashing.
+
+Mirrors reference crates/schnorr/src/lib.rs:11-80:
+  keygen: pk = sk*G;  sign: R = k*G, e = H(SIGNATURE || pk || R || m),
+  s = k + e*sk;  verify: s*G == R + e*pk.
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+
+from .curves import Affine, CurveCfg, ec_add, ec_mul
+from .poseidon.sponge import hash_message
+
+
+@dataclass(frozen=True)
+class SchnorrSignature:
+    r: Affine  # commitment point R = k*G
+    s: int  # s = k + e*sk (scalar field)
+
+
+def generate_keypair(cfg: CurveCfg, rng=secrets) -> tuple[int, Affine]:
+    sk = rng.randbelow(cfg.r - 1) + 1 if hasattr(rng, "randbelow") else rng.randrange(1, cfg.r)
+    pk = ec_mul(cfg, cfg.generator, sk)
+    return sk, pk
+
+
+def sign(cfg: CurveCfg, sk: int, message: list[int], k: int | None = None) -> SchnorrSignature:
+    if k is None:
+        k = secrets.randbelow(cfg.r - 1) + 1
+    r_point = ec_mul(cfg, cfg.generator, k)
+    pk = ec_mul(cfg, cfg.generator, sk)
+    e = hash_message(cfg, pk, r_point, message)
+    s = (k + e * sk) % cfg.r
+    return SchnorrSignature(r=r_point, s=s)
+
+
+def verify(cfg: CurveCfg, pk: Affine, message: list[int], sig: SchnorrSignature) -> bool:
+    e = hash_message(cfg, pk, sig.r, message)
+    lhs = ec_mul(cfg, cfg.generator, sig.s)
+    rhs = ec_add(cfg, sig.r, ec_mul(cfg, pk, e))
+    return lhs == rhs
