@@ -1,0 +1,125 @@
+"""ASDL: accumulation scheme (split verifier) over PCDL instances.
+
+Host-tier implementation of the reference scheme
+(crates/accumulation/src/acc.rs):
+
+  common_subroutine  succinct-check every instance, derive alpha, batch the
+                     U_i into C = sum alpha^i U_i, derive z
+  prover             v = h(z); pi = pcdl.open(h(X), C, d, z, w=None)
+  verifier           re-run subroutine, compare (C, d, z, h(z)=v)
+  decider            full pcdl.check on the accumulator instance
+
+Hiding is stubbed out exactly like the reference (acc.rs:141-174 comments;
+C_bar = C).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from . import pcdl
+from .curves import Affine, CurveCfg, from_jac, jac_add, jac_mul, to_jac
+from .pcdl import HPoly, Instance
+from .poseidon.sponge import Protocols, Sponge
+from .serde import Reader, Writer
+
+
+@dataclass
+class Accumulator:
+    q: Instance
+
+    @classmethod
+    def deserialize(cls, r: Reader, cfg: CurveCfg) -> "Accumulator":
+        return cls(q=Instance.deserialize(r, cfg))
+
+    def serialize(self, w: Writer, cfg: CurveCfg) -> None:
+        self.q.serialize(w, cfg)
+
+
+@dataclass
+class AccumulatedHPolys:
+    hs: list[HPoly]
+    alphas: list[int]
+    alpha: int | None
+    r: int
+
+    def eval(self, z: int) -> int:
+        v = 0
+        for h, a in zip(self.hs, self.alphas):
+            v = (v + h.eval(z) * a) % self.r
+        return v
+
+    def coeffs(self) -> list[int]:
+        out: list[int] = []
+        for h, a in zip(self.hs, self.alphas):
+            cs = h.coeffs()
+            if len(out) < len(cs):
+                out += [0] * (len(cs) - len(out))
+            for i, c in enumerate(cs):
+                out[i] = (out[i] + c * a) % self.r
+        return out
+
+    def scalars(self) -> list[int]:
+        out = [xi for h in self.hs for xi in h.xis]
+        if self.alpha is not None:
+            out.append(self.alpha)
+        return out
+
+
+def common_subroutine(
+    cfg: CurveCfg, qs: list[Instance]
+) -> tuple[Affine, int, int, AccumulatedHPolys]:
+    """Reference acc.rs:128-176."""
+    assert qs, "no instances given"
+    d = qs[0].d
+    m = cfg.r
+    transcript = Sponge(Protocols.ASDL, cfg)
+
+    hs: list[HPoly] = []
+    Us: list[Affine] = []
+    for q in qs:
+        h_i, U_i = pcdl.succinct_check(cfg, q.C, q.d, q.z, q.v, q.pi)
+        hs.append(h_i)
+        Us.append(U_i)
+        assert q.d == d, "d_i != d"
+
+    acc_h = AccumulatedHPolys(hs=hs, alphas=[], alpha=None, r=m)
+    transcript.absorb_fr(acc_h.scalars())
+    transcript.absorb_g(Us)
+    alpha = transcript.challenge()
+    acc_h.alpha = alpha
+    cur = 1
+    for _ in range(len(hs)):
+        acc_h.alphas.append(cur)
+        cur = cur * alpha % m
+
+    # C = sum alpha^i U_i
+    C = None
+    for a, U in zip(acc_h.alphas, Us):
+        C = from_jac(cfg, jac_add(cfg, to_jac(C), jac_mul(cfg, to_jac(U), a)))
+
+    z = transcript.challenge()
+    return C, d, z, acc_h
+
+
+def prover(cfg: CurveCfg, qs: list[Instance], rng=None) -> Accumulator:
+    C_bar, d, z, h = common_subroutine(cfg, qs)
+    v = h.eval(z)
+    pi = pcdl.open_proof(cfg, h.coeffs(), C_bar, d, z, w=None, rng=rng)
+    return Accumulator(q=Instance(C=C_bar, d=d, z=z, v=v, pi=pi))
+
+
+def verifier(cfg: CurveCfg, qs: list[Instance], acc: Accumulator) -> None:
+    C_prime, d_prime, z_prime, h = common_subroutine(cfg, qs)
+    if C_prime != acc.q.C:
+        raise ValueError("acc verifier: C_bar' != C_bar")
+    if z_prime != acc.q.z:
+        raise ValueError("acc verifier: z' != z")
+    if d_prime != acc.q.d:
+        raise ValueError("acc verifier: d' != d")
+    if h.eval(acc.q.z) != acc.q.v:
+        raise ValueError("acc verifier: h(z) != v")
+
+
+def decider(cfg: CurveCfg, acc: Accumulator) -> None:
+    pcdl.check(cfg, acc.q.C, acc.q.d, acc.q.z, acc.q.v, acc.q.pi)

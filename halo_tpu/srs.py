@@ -129,6 +129,16 @@ class PublicParams:
         ]
 
 
+@lru_cache(maxsize=4)
+def load_sh(cfg_name: str) -> tuple[Affine, Affine]:
+    """Parse only S and H (sh.bin) — enough for succinct checks."""
+    cfg = PALLAS if cfg_name == "pallas" else VESTA
+    sh_buf = np.frombuffer((REFERENCE_PRECOMPUTE / cfg.name / "sh.bin").read_bytes(), np.uint8)
+    sh_limbs, _ = _decode_varints(sh_buf, 16, 0)
+    vals = [from_mont([int(x) for x in sh_limbs[i * 4 : i * 4 + 4]], cfg.p) for i in range(4)]
+    return (vals[0], vals[1]), (vals[2], vals[3])
+
+
 def _load_block(cfg: CurveCfg, block: int) -> np.ndarray:
     """Parse one gs-NN.bin -> (16384, 8) u64 Montgomery limbs (x then y)."""
     path = REFERENCE_PRECOMPUTE / cfg.name / f"gs-{block:02d}.bin"
