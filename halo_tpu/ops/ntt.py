@@ -1,0 +1,83 @@
+"""Device-tier radix-2 NTT over the 2-adic Pasta multiplicative subgroups.
+
+TPU-first replacement for ark-poly's Radix2EvaluationDomain FFT
+(reference uses GeneralEvaluationDomain, crates/group/src/poly.rs:11).
+Matches ark's evaluation ordering: ntt(coeffs)[i] = p(w^i) with w the
+canonical 2^k root derived from the field generator (5), natural order.
+
+Iterative Cooley-Tukey on Montgomery-limb arrays: bit-reverse gather, then
+k fully-vectorized butterfly stages (each one reshape + one batched
+mont_mul + add/sub).  The multi-chip variant (halo_tpu/parallel/ntt.py)
+keeps stages local until the butterfly stride crosses the shard boundary,
+then re-shards with all_to_all (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import two_adic_root_of_unity
+from . import ff
+from .ff import NLIMBS, U32, FFCtx
+
+
+@lru_cache(maxsize=64)
+def _plan(m: int, log_n: int, inverse: bool):
+    """Host-side twiddle/permutation plan: (bitrev index array, per-stage twiddles)."""
+    n = 1 << log_n
+    w = two_adic_root_of_unity(m, log_n)
+    if inverse:
+        w = pow(w, -1, m)
+    # bit-reversal permutation
+    rev = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        rev[i] = int(format(i, f"0{log_n}b")[::-1], 2) if log_n else 0
+    # per-stage twiddles in Montgomery form: stage s uses w_m = w^(n/m), m = 2^s
+    stage_twiddles = []
+    for s in range(1, log_n + 1):
+        mlen = 1 << s
+        wm = pow(w, n // mlen, m)
+        tw = [pow(wm, j, m) * (1 << 256) % m for j in range(mlen // 2)]
+        stage_twiddles.append(ff.ints_to_array(tw))
+    n_inv_mont = pow(n, -1, m) * (1 << 256) % m if inverse else None
+    return rev, stage_twiddles, (ff.int_to_limbs(n_inv_mont) if inverse else None)
+
+
+def _ntt_impl(ctx: FFCtx, a: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
+    n = 1 << log_n
+    assert a.shape[-2] == n
+    rev, stage_tw, n_inv = _plan(ctx.m, log_n, inverse)
+    x = a[..., jnp.asarray(rev), :]
+    for s in range(1, log_n + 1):
+        mlen = 1 << s
+        half = mlen // 2
+        tw = jnp.asarray(stage_tw[s - 1], U32)  # (half, 16)
+        xb = x.reshape(*x.shape[:-2], n // mlen, mlen, NLIMBS)
+        even = xb[..., :half, :]
+        odd = xb[..., half:, :]
+        t = ff.mont_mul(ctx, odd, tw)
+        x = jnp.concatenate([ff.add(ctx, even, t), ff.sub(ctx, even, t)], axis=-2)
+        x = x.reshape(*a.shape[:-2], n, NLIMBS)
+    if inverse:
+        x = ff.mont_mul(ctx, x, jnp.asarray(n_inv, U32))
+    return x
+
+
+def ntt(ctx: FFCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT: Montgomery coeffs (..., n, 16) -> evals at [w^0, w^1, ...]."""
+    log_n = int(a.shape[-2]).bit_length() - 1
+    return _ntt_impl(ctx, a, log_n, False)
+
+
+def intt(ctx: FFCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """Inverse NTT: evals -> Montgomery coefficients."""
+    log_n = int(a.shape[-2]).bit_length() - 1
+    return _ntt_impl(ctx, a, log_n, True)
+
+
+ntt_jit = jax.jit(ntt, static_argnums=0)
+intt_jit = jax.jit(intt, static_argnums=0)

@@ -1,0 +1,86 @@
+"""Multi-chip MSM: points sharded across the mesh, bucket partials reduced
+over ICI (SURVEY.md §2.6 "MSM partitioning").
+
+Each chip runs the single-chip Pippenger bucket phase on its point shard,
+producing per-chip partial window totals (points).  Point addition is not a
+psum-able monoid for XLA, so partials are combined with a recursive-doubling
+ppermute+add reduction (log2(D) rounds over ICI), which is the custom-
+combiner equivalent of psum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax import shard_map
+
+from ..curves import Affine, CurveCfg
+from ..ops import ec, ff, msm as msm_ops
+from ..ops.ec import ECCtx, Point
+from ..ops.ff import NLIMBS, U32
+
+
+def _ring_reduce_point(ctx: ECCtx, P: Point, axis: str) -> Point:
+    """all-reduce a per-chip point via recursive-doubling ppermute + add."""
+    size = jax.lax.axis_size(axis)
+    step = 1
+    while step < size:
+        perm = [(i, i ^ step) for i in range(size)]
+        other = tuple(jax.lax.ppermute(c, axis, perm) for c in P)
+        P = ec.add(ctx, P, other)
+        step *= 2
+    return P
+
+
+def sharded_msm_fn(ctx: ECCtx, mesh: Mesh, n_per_shard: int, lanes: int, naive: bool = False):
+    """Build a jitted sharded-MSM step over `mesh`.
+
+    Inputs: point limbs (N,16)x3 + scalar limbs (N,16), sharded on "data";
+    output: the MSM total as a replicated (3,16) projective point.
+    """
+
+    def local_step(X, Y, Z, K):
+        P = (X, Y, Z)
+        if naive:
+            local = msm_ops.msm_naive(ctx, P, K)
+        else:
+            local = msm_ops._pippenger_impl(ctx, P, K, lanes)
+        total = _ring_reduce_point(ctx, local, "data")
+        return total
+
+    spec_in = PartitionSpec("data")
+    spec_out = PartitionSpec()
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec_in, spec_in, spec_in, spec_in),
+        out_specs=(spec_out, spec_out, spec_out),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def msm_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Affine]) -> Affine:
+    """Host-facing sharded MSM (pads to a multiple of the mesh size)."""
+    ctx = ec.ec_ctx(cfg)
+    n = len(scalars)
+    d = mesh.devices.size
+    lanes = 128
+    per = -(-n // d)
+    per = max(lanes, 1 << (per - 1).bit_length())
+    total_n = per * d
+    ks = [s % cfg.r for s in scalars] + [0] * (total_n - n)
+    pts = list(points[:n]) + [None] * (total_n - n)
+    P = ec.from_affine_ints(ctx, pts)
+    K = jnp.asarray(ff.ints_to_array(ks))
+    use_naive = per < 4096
+    fn = sharded_msm_fn(ctx, mesh, per, lanes, naive=use_naive)
+    from .mesh import shard_leading
+
+    X, Y, Z = (shard_leading(mesh, c) for c in P)
+    K = shard_leading(mesh, K)
+    out = fn(X, Y, Z, K)
+    return ec.to_affine_ints(ctx, tuple(c[None] for c in out))[0]

@@ -54,11 +54,17 @@ def _msm(cfg: CurveCfg, scalars, points) -> Affine:
     return msm_host(cfg, scalars, points)
 
 
+import os
+
+# below this size the host Pippenger beats device dispatch+compile overhead
+DEVICE_MSM_MIN = int(os.environ.get("HALO_TPU_DEVICE_MSM_MIN", "512"))
+
+
 def _srs_msm(cfg: CurveCfg, scalars: list[int]) -> Affine:
     """MSM against the first len(scalars) SRS generators (device-aware)."""
     from .ops import msm as device_msm
 
-    if device_msm.available():
+    if device_msm.available() and len(scalars) >= DEVICE_MSM_MIN:
         return device_msm.msm_srs(cfg, scalars)
     pp = load_srs(cfg.name, _pp_size(cfg, len(scalars)))
     return _msm(cfg, scalars, pp.gs_ints(len(scalars)))
