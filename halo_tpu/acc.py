@@ -123,3 +123,15 @@ def verifier(cfg: CurveCfg, qs: list[Instance], acc: Accumulator) -> None:
 
 def decider(cfg: CurveCfg, acc: Accumulator) -> None:
     pcdl.check(cfg, acc.q.C, acc.q.d, acc.q.z, acc.q.v, acc.q.pi)
+
+
+def zero_instance(cfg: CurveCfg, n: int) -> Instance:
+    """Instance::zero: zero polynomial, C = identity, z = v = 0 (pcdl.rs:54-65)."""
+    pi = pcdl.open_without_eval(cfg, [0], None, n - 1, 0, 0, None)
+    return Instance(C=None, d=n - 1, z=0, v=0, pi=pi)
+
+
+def zero_accumulator(cfg: CurveCfg, n: int, k: int = 1) -> Accumulator:
+    """Accumulator::zero(n, k) (acc.rs:37-41); deterministic."""
+    qs = [zero_instance(cfg, n)] * k
+    return prover(cfg, qs)

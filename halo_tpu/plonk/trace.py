@@ -1,0 +1,214 @@
+"""Trace preprocessing: copy-constraint permutation, interpolation, commitments.
+
+Mirrors reference crates/plonk/src/circuit/trace.rs: build_sigma forms cycles
+from copy-constraint classes (sigma[from] = to, cycle direction as in
+trace.rs:83-89); public inputs are negated and padded before interpolation
+(trace.rs:162-165); q/r/id/sigma polys are committed unless a static circuit
+supplies frozen commitments (trace.rs:185-196).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from .. import acc as acc_mod
+from .. import pcdl
+from ..curves import Affine, CurveCfg
+from ..hostpoly import HostEvals, domain_element
+from .circuit import FP, MODS, TRACE_CURVE, SlotId, TraceData
+from .constants import Q_POLYS, R_POLYS, S_POLYS, W_POLYS
+
+
+@dataclass
+class PlonkCircuitCommitments:
+    qs: list[Affine]
+    rs: list[Affine]
+    ids: list[Affine]
+    sigmas: list[Affine]
+
+
+@dataclass
+class PlonkCircuit:
+    rows: int
+    public_input_count: int
+    omega: int
+    Cs: PlonkCircuitCommitments
+
+
+@dataclass
+class PlonkPublicInputs:
+    public_inputs: list[int]
+    acc_prev: acc_mod.Accumulator
+
+
+@dataclass
+class PlonkWitnessPolys:
+    ws: list[list[int]]
+    qs: list[list[int]]
+    rs: list[list[int]]
+    ids: list[list[int]]
+    sigmas: list[list[int]]
+
+
+@dataclass
+class PlonkWitness:
+    omega: int
+    polys: PlonkWitnessPolys
+    w_evals: list[HostEvals]
+
+
+def build_sigma(m: int, eqs: list[list[SlotId]], rows: int):
+    """(sigma slot map, id evals x8, sigma evals x8) (trace.rs:65-105)."""
+    total = rows * S_POLYS
+    sigma = list(range(total))  # sigma[u] = image slot index (as usize)
+    for wires in eqs:
+        if len(wires) <= 1:
+            continue
+        for i in range(len(wires)):
+            frm = wires[i].to_usize(rows)
+            to = wires[(i + 1) % len(wires)]
+            sigma[frm] = to.to_usize(rows)
+
+    id_evals = []
+    sigma_evals = []
+    for col in range(S_POLYS):
+        id_vec = [
+            SlotId.from_usize(col * rows + r, rows).to_scalar(rows) % m for r in range(rows)
+        ]
+        sg_vec = [
+            SlotId.from_usize(sigma[col * rows + r], rows).to_scalar(rows) % m
+            for r in range(rows)
+        ]
+        id_evals.append(HostEvals.from_vec_and_domain(m, id_vec))
+        sigma_evals.append(HostEvals.from_vec_and_domain(m, sg_vec))
+    return sigma, id_evals, sigma_evals
+
+
+@dataclass
+class Trace:
+    cfg: CurveCfg
+    rows: int
+    omega: int
+    outputs: list[int]
+    sigma: list[int]
+    public_inputs: list[int]
+    public_inputs_poly: list[int]
+    C_qs: list[Affine]
+    C_rs: list[Affine]
+    C_ids: list[Affine]
+    C_sigmas: list[Affine]
+    id_polys: list[list[int]]
+    q_polys: list[list[int]]
+    sigma_polys: list[list[int]]
+    w_evals: list[HostEvals]
+    w_polys: list[list[int]]
+    r_polys: list[list[int]]
+    acc_prev: acc_mod.Accumulator
+    message_pass_inputs: list[int]
+
+    @classmethod
+    def new(
+        cls,
+        cfg: CurveCfg,
+        data: TraceData,
+        acc_prev: Optional[acc_mod.Accumulator] = None,
+        circuit: Optional[PlonkCircuit] = None,
+    ) -> "Trace":
+        m = cfg.r
+        n = data.rows
+        d = n - 1
+        omega = domain_element(m, n, 1)
+
+        sigma, id_evals, sigma_evals = build_sigma(m, data.copy_constraints, n)
+
+        pi = list(data.public_inputs) + [0] * (n - len(data.public_inputs))
+        pi = [(-x) % m for x in pi]
+        pi_evals = HostEvals.from_vec_and_domain(m, pi)
+
+        w_evals = [HostEvals.from_vec_and_domain(m, col) for col in data.ws]
+        r_evals = [HostEvals.from_vec_and_domain(m, col) for col in data.rs]
+        q_evals = [HostEvals.from_vec_and_domain(m, col) for col in data.qs]
+
+        id_polys = [e.interpolate() for e in id_evals]
+        sigma_polys = [e.interpolate() for e in sigma_evals]
+        w_polys = [e.interpolate() for e in w_evals]
+        r_polys = [e.interpolate() for e in r_evals]
+        q_polys = [e.interpolate() for e in q_evals]
+        pi_poly = pi_evals.interpolate()
+
+        if circuit is not None:
+            C_qs, C_rs = circuit.Cs.qs, circuit.Cs.rs
+            C_ids, C_sigmas = circuit.Cs.ids, circuit.Cs.sigmas
+        else:
+            C_qs = [pcdl.commit(cfg, p, d) for p in q_polys]
+            C_rs = [pcdl.commit(cfg, p, d) for p in r_polys]
+            C_ids = [pcdl.commit(cfg, p, d) for p in id_polys]
+            C_sigmas = [pcdl.commit(cfg, p, d) for p in sigma_polys]
+
+        if acc_prev is None:
+            acc_prev = acc_mod.zero_accumulator(cfg, n, 1)
+
+        return cls(
+            cfg=cfg,
+            rows=n,
+            omega=omega,
+            outputs=data.outputs,
+            sigma=sigma,
+            public_inputs=list(data.public_inputs),
+            public_inputs_poly=pi_poly,
+            C_qs=C_qs,
+            C_rs=C_rs,
+            C_ids=C_ids,
+            C_sigmas=C_sigmas,
+            id_polys=id_polys,
+            q_polys=q_polys,
+            sigma_polys=sigma_polys,
+            w_evals=w_evals,
+            w_polys=w_polys,
+            r_polys=r_polys,
+            acc_prev=acc_prev,
+            message_pass_inputs=list(data.message_pass_inputs),
+        )
+
+    def consume(self):
+        Cs = PlonkCircuitCommitments(
+            qs=self.C_qs, rs=self.C_rs, ids=self.C_ids, sigmas=self.C_sigmas
+        )
+        circuit = PlonkCircuit(
+            rows=self.rows,
+            public_input_count=len(self.public_inputs),
+            omega=self.omega,
+            Cs=Cs,
+        )
+        x = PlonkPublicInputs(public_inputs=self.public_inputs, acc_prev=self.acc_prev)
+        polys = PlonkWitnessPolys(
+            ws=self.w_polys,
+            qs=self.q_polys,
+            rs=self.r_polys,
+            ids=self.id_polys,
+            sigmas=self.sigma_polys,
+        )
+        w = PlonkWitness(omega=self.omega, polys=polys, w_evals=self.w_evals)
+        return circuit, x, w
+
+    def test_copy_constraints(self) -> None:
+        m = self.cfg.r
+        for u, img in enumerate(self.sigma):
+            a = SlotId.from_usize(u, self.rows)
+            b = SlotId.from_usize(img, self.rows)
+            from ..hostpoly import poly_eval
+
+            v1 = poly_eval(m, self.w_polys[a.col - 1], pow(self.omega, a.row, m))
+            v2 = poly_eval(m, self.w_polys[b.col - 1], pow(self.omega, b.row, m))
+            assert v1 == v2, f"copy constraint {a} != {b}"
+
+
+def trace_pair(builder, accs_prev=None, static_circuits=None):
+    """TraceBuilder -> (fp Trace, fq Trace), mirroring trace_builder.rs trace()."""
+    fp_data, fq_data = builder.trace()
+    fp_acc, fq_acc = accs_prev if accs_prev else (None, None)
+    fp_circ, fq_circ = static_circuits if static_circuits else (None, None)
+    fp_trace = Trace.new(TRACE_CURVE[0], fp_data, fp_acc, fp_circ)
+    fq_trace = Trace.new(TRACE_CURVE[1], fq_data, fq_acc, fq_circ)
+    return fp_trace, fq_trace

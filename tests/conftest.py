@@ -21,6 +21,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 # jax_platforms AFTER env vars are read, so the env alone is not enough —
 # pin the platform via jax.config (runs after sitecustomize).  Tests must
 # never touch the (single-tenant, tunnel-backed) TPU.
+# keep protocol tests on the (predictable) host MSM; device MSM has its own
+# dedicated tests and the CPU jit compiles would dominate CI otherwise
+os.environ.setdefault("HALO_TPU_DEVICE_MSM_MIN", "100000")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
