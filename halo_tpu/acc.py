@@ -131,7 +131,13 @@ def zero_instance(cfg: CurveCfg, n: int) -> Instance:
     return Instance(C=None, d=n - 1, z=0, v=0, pi=pi)
 
 
+_ZERO_ACC_CACHE: dict = {}
+
+
 def zero_accumulator(cfg: CurveCfg, n: int, k: int = 1) -> Accumulator:
-    """Accumulator::zero(n, k) (acc.rs:37-41); deterministic."""
-    qs = [zero_instance(cfg, n)] * k
-    return prover(cfg, qs)
+    """Accumulator::zero(n, k) (acc.rs:37-41); deterministic, so cached."""
+    key = (cfg.name, n, k)
+    if key not in _ZERO_ACC_CACHE:
+        qs = [zero_instance(cfg, n)] * k
+        _ZERO_ACC_CACHE[key] = prover(cfg, qs)
+    return _ZERO_ACC_CACHE[key]
