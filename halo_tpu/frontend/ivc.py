@@ -1,0 +1,384 @@
+"""IVC driver: chain-of-signatures statement proven recursively over the
+Pasta 2-cycle (reference crates/plonk/src/frontend/ivc/mod.rs).
+
+The statement (thesis ch. 6): each key signs the next; step i's circuit
+checks  (prev proofs verify  OR  i == 0)  AND  the signature verifies —
+with the PLONK verifier, IPA succinct check, and accumulation verifier all
+in-circuit.  The circuit is FIXED: its commitments are computed once per
+row-count via freeze_ivc_circuits() and cached on disk (the equivalent of
+the reference's hard-coded IVC_FP_CIRCUIT/IVC_FQ_CIRCUIT consts produced
+by print_ivc_circuit, ivc/mod.rs:467-605).
+
+Note: the reference's two proofs per step are independent (ivc/mod.rs:
+648-649) — the pp-analog axis: prove them on disjoint sub-meshes.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from dataclasses import dataclass
+from pathlib import Path
+
+from .. import acc as acc_mod
+from .. import pcdl, schnorr
+from ..curves import PALLAS, VESTA
+from ..plonk import protocol
+from ..plonk.constants import Q_POLYS, R_POLYS, S_POLYS, T_POLYS, W_POLYS
+from ..plonk.trace import (
+    PlonkCircuit,
+    PlonkCircuitCommitments,
+    PlonkPublicInputs,
+)
+from . import Call, reset
+from .asdl import bind_accumulator
+from .pcdl import bind_eval_proof, bind_instance
+from .plonk import (
+    WirePlonkCircuit,
+    WirePlonkProof,
+    WirePlonkPublicInputs,
+    bind_plonk_proof,
+    bind_plonk_public_inputs,
+)
+from .primitives import WireAffine, WireBool, WireScalar
+from .signature import WireSchnorrSignature, bind_signature
+
+CACHE_DIR = Path(__file__).resolve().parents[2] / ".cache"
+
+
+def zero_invalid_instance(cfg, n: int) -> pcdl.Instance:
+    """Instance::zero_invalid (pcdl.rs:67-89): all-identity proof."""
+    lg_n = n.bit_length() - 1
+    pi = pcdl.EvalProof(
+        Ls=[None] * lg_n, Rs=[None] * lg_n, U=None, c=0, C_bar=None, w_prime=None
+    )
+    return pcdl.Instance(C=None, d=n - 1, z=0, v=0, pi=pi)
+
+
+@dataclass
+class WireIVCState:
+    pk: WireAffine
+    signature: WireSchnorrSignature
+    i: WireScalar
+    fp_proof: WirePlonkProof
+    fp_public_input: WirePlonkPublicInputs
+    fq_proof: WirePlonkProof
+    fq_public_input: WirePlonkPublicInputs
+
+    @staticmethod
+    def witness(rows: int, fp_pi_count: int, fq_pi_count: int) -> "WireIVCState":
+        return WireIVCState(
+            fp_proof=WirePlonkProof.witness(PALLAS, rows),
+            fq_proof=WirePlonkProof.witness(VESTA, rows),
+            fp_public_input=WirePlonkPublicInputs.witness(PALLAS, rows, fp_pi_count),
+            fq_public_input=WirePlonkPublicInputs.witness(VESTA, rows, fq_pi_count),
+            i=WireScalar.witness(PALLAS),
+            signature=WireSchnorrSignature.witness(PALLAS),
+            pk=WireAffine.witness(PALLAS),
+        )
+
+    def ivc_circuit(
+        self,
+        circuit_fp: WirePlonkCircuit,
+        circuit_fq: WirePlonkCircuit,
+        pk_next: WireAffine,
+    ) -> WireBool:
+        """(fp verifies AND fq verifies) OR i == 0, AND signature verifies
+        (ivc/mod.rs:728-749)."""
+        c1_fp = self.fp_proof.verify_succinct(circuit_fp, self.fp_public_input)
+        c1_fq = self.fq_proof.verify_succinct(circuit_fq, self.fq_public_input).message_pass()
+        c1 = c1_fp & c1_fq
+        c2 = self.i.equals(WireScalar.zero(PALLAS))
+        c3 = self.signature.verify(self.pk, [pk_next.x, pk_next.y]).message_pass()
+        return (c1 | c2) & c3
+
+
+def bind_ivc_state(call: Call, wire_state: WireIVCState, state: "IVCState") -> None:
+    bind_plonk_proof(call, wire_state.fp_proof, state.fp_proof)
+    bind_plonk_proof(call, wire_state.fq_proof, state.fq_proof)
+    bind_plonk_public_inputs(call, wire_state.fp_public_input, state.fp_public_input)
+    bind_plonk_public_inputs(call, wire_state.fq_public_input, state.fq_public_input)
+    call.witness(wire_state.i, state.i)
+    bind_signature(call, wire_state.signature, state.signature)
+    call.witness_affine(wire_state.pk, state.pk)
+
+
+def _dummy_circuit(cfg, rows: int, pi_count: int, seed: int) -> PlonkCircuit:
+    """Random-commitment stand-in used only when freezing the circuit shape
+    (WireIVCState::circuit_dummy, ivc/mod.rs:707-720)."""
+    from ..curves import ec_mul
+
+    rng = random.Random(seed)
+
+    def rand_pt():
+        return ec_mul(cfg, cfg.generator, rng.randrange(1, cfg.r))
+
+    return PlonkCircuit(
+        rows=rows,
+        public_input_count=pi_count,
+        omega=rows % cfg.r,
+        Cs=PlonkCircuitCommitments(
+            qs=[rand_pt() for _ in range(Q_POLYS)],
+            rs=[rand_pt() for _ in range(R_POLYS)],
+            ids=[rand_pt() for _ in range(S_POLYS)],
+            sigmas=[rand_pt() for _ in range(S_POLYS)],
+        ),
+    )
+
+
+def bind_plonk_circuit(call: Call, wc: WirePlonkCircuit, circuit: PlonkCircuit) -> None:
+    """public_input_plonk_circuit (frontend/plonk/mod.rs:238-270)."""
+    assert wc.rows == circuit.rows
+    for w, p in zip(wc.Cs.qs, circuit.Cs.qs):
+        call.public_input_affine(w, p)
+    for w, p in zip(wc.Cs.rs, circuit.Cs.rs):
+        call.public_input_affine(w, p)
+    for i in range(S_POLYS):
+        call.public_input_affine(wc.Cs.ids[i], circuit.Cs.ids[i])
+        call.public_input_affine(wc.Cs.sigmas[i], circuit.Cs.sigmas[i])
+
+
+@dataclass
+class IVCParams:
+    rows: int
+    fp_circuit: PlonkCircuit
+    fq_circuit: PlonkCircuit
+
+
+def _measure_pi_counts(rows: int) -> tuple[int, int]:
+    """Iterate the wire-circuit construction to the PI-count fixed point
+    (the circuit's PI count includes the message-pass inputs, and the
+    previous step's PI vector enters the next circuit as witnesses)."""
+    from . import current
+
+    fp_pi, fq_pi = 0, 0
+    for _ in range(4):
+        reset()
+        wire_fp_circuit = WirePlonkCircuit.public_input(PALLAS, rows, fp_pi)
+        wire_fq_circuit = WirePlonkCircuit.public_input(VESTA, rows, fq_pi)
+        wire_state = WireIVCState.witness(rows, fp_pi, fq_pi)
+        wire_pk_next = WireAffine.witness(PALLAS)
+        wire_state.ivc_circuit(wire_fp_circuit, wire_fq_circuit, wire_pk_next)
+        spec = current().circuit
+        new_fp = spec.public_input_wire_count[0] + spec.message_pass_wire_count[0]
+        new_fq = spec.public_input_wire_count[1] + spec.message_pass_wire_count[1]
+        if (new_fp, new_fq) == (fp_pi, fq_pi):
+            break
+        fp_pi, fq_pi = new_fp, new_fq
+    reset()
+    return fp_pi, fq_pi
+
+
+def build_ivc_traces(rows: int, fp_pi_count: int, fq_pi_count: int, state, pk_next_pt,
+                     fp_circuit=None, fq_circuit=None, accs=None, static: bool = True):
+    """Construct the IVC wire circuit, bind one step's witness, trace."""
+    reset()
+    wire_fp_circuit = WirePlonkCircuit.public_input(PALLAS, rows, fp_pi_count)
+    wire_fq_circuit = WirePlonkCircuit.public_input(VESTA, rows, fq_pi_count)
+    wire_state = WireIVCState.witness(rows, fp_pi_count, fq_pi_count)
+    wire_pk_next = WireAffine.witness(PALLAS)
+    wire_state.ivc_circuit(wire_fp_circuit, wire_fq_circuit, wire_pk_next)
+
+    call = Call()
+    bind_plonk_circuit(call, wire_fp_circuit, fp_circuit)
+    bind_plonk_circuit(call, wire_fq_circuit, fq_circuit)
+    call.witness_affine(wire_pk_next, pk_next_pt)
+    bind_ivc_state(call, wire_state, state)
+
+    static_circuits = (fp_circuit, fq_circuit) if static else None
+    return call.trace(accs_prev=accs, static_circuits=static_circuits)
+
+
+@dataclass
+class IVCState:
+    params: IVCParams
+    pk: tuple
+    sk: int
+    signature: schnorr.SchnorrSignature
+    i: int
+    fp_proof: protocol.PlonkProof
+    fp_public_input: PlonkPublicInputs
+    fq_proof: protocol.PlonkProof
+    fq_public_input: PlonkPublicInputs
+
+    @staticmethod
+    def init(params: IVCParams, rng=None) -> "IVCState":
+        rng = rng or random.Random(1337)
+        rows = params.rows
+        acc0_pallas = acc_mod.zero_accumulator(PALLAS, rows, 1)
+        acc0_vesta = acc_mod.zero_accumulator(VESTA, rows, 1)
+
+        sk_init = rng.randrange(1, PALLAS.r)
+        sk = rng.randrange(1, PALLAS.r)
+        from ..curves import ec_mul
+
+        pk = ec_mul(PALLAS, PALLAS.generator, sk)
+        # reference init signs (pk.y, pk.x) — kept as-is (ivc/mod.rs:402)
+        signature = schnorr.sign(PALLAS, sk_init, [pk[1], pk[0]], k=rng.randrange(1, PALLAS.r))
+
+        def zero_proof(cfg, acc0):
+            zi = zero_invalid_instance(cfg, rows)
+            return protocol.PlonkProof(
+                vs=protocol.PlonkProofEvals(
+                    ws=[0] * W_POLYS,
+                    rs=[0] * R_POLYS,
+                    qs=[0] * Q_POLYS,
+                    ts=[0] * T_POLYS,
+                    ids=[0] * S_POLYS,
+                    sigmas=[0] * S_POLYS,
+                    z=0,
+                    z_omega=0,
+                    w_omegas=[0] * 3,
+                ),
+                Cs=protocol.PlonkProofCommitments(
+                    ws=[None] * W_POLYS, ts=[None] * T_POLYS, z=None
+                ),
+                pis=protocol.PlonkProofEvalProofs(r=zi.pi, r_omega=zero_invalid_instance(cfg, rows).pi),
+                acc_next=acc0,
+            )
+
+        return IVCState(
+            params=params,
+            pk=pk,
+            sk=sk,
+            signature=signature,
+            i=0,
+            fp_proof=zero_proof(PALLAS, acc0_pallas),
+            fp_public_input=PlonkPublicInputs(
+                public_inputs=[0] * params.fp_circuit.public_input_count,
+                acc_prev=acc0_pallas,
+            ),
+            fq_proof=zero_proof(VESTA, acc0_vesta),
+            fq_public_input=PlonkPublicInputs(
+                public_inputs=[0] * params.fq_circuit.public_input_count,
+                acc_prev=acc0_vesta,
+            ),
+        )
+
+    def prove(self, rng=None) -> "IVCState":
+        rng = rng or random.Random(4242)
+        params = self.params
+        rows = params.rows
+        sk_next = rng.randrange(1, PALLAS.r)
+        from ..curves import ec_mul
+
+        pk_next = ec_mul(PALLAS, PALLAS.generator, sk_next)
+        signature_next = schnorr.sign(
+            PALLAS, self.sk, [pk_next[0], pk_next[1]], k=rng.randrange(1, PALLAS.r)
+        )
+
+        accs = (self.fp_public_input.acc_prev, self.fq_public_input.acc_prev)
+        fp_trace, fq_trace = build_ivc_traces(
+            rows,
+            params.fp_circuit.public_input_count,
+            params.fq_circuit.public_input_count,
+            self,
+            pk_next,
+            fp_circuit=params.fp_circuit,
+            fq_circuit=params.fq_circuit,
+            accs=accs,
+        )
+        fp_circuit, fp_x, fp_w = fp_trace.consume()
+        fq_circuit, fq_x, fq_w = fq_trace.consume()
+        assert fp_circuit.rows == params.fp_circuit.rows
+        reset()
+
+        fp_pi = protocol.naive_prover(PALLAS, fp_circuit, fp_x, fp_w)
+        fq_pi = protocol.naive_prover(VESTA, fq_circuit, fq_x, fq_w)
+        protocol.verify(PALLAS, fp_pi, fp_circuit, fp_x)
+        protocol.verify(VESTA, fq_pi, fq_circuit, fq_x)
+
+        return IVCState(
+            params=params,
+            pk=pk_next,
+            sk=sk_next,
+            signature=signature_next,
+            i=self.i + 1,
+            fp_proof=fp_pi,
+            fp_public_input=fp_x,
+            fq_proof=fq_pi,
+            fq_public_input=fq_x,
+        )
+
+    def verify(self) -> None:
+        if self.i == 0:
+            return
+        protocol.verify(PALLAS, self.fp_proof, self.params.fp_circuit, self.fp_public_input)
+        protocol.verify(VESTA, self.fq_proof, self.params.fq_circuit, self.fq_public_input)
+
+
+def freeze_ivc_circuits(rows: int, use_cache: bool = True) -> IVCParams:
+    """Build and freeze the fixed IVC circuit pair for a given row count
+    (the print_ivc_circuit equivalent).  Heavy: runs a full dummy trace."""
+    cache = CACHE_DIR / f"ivc-circuits-{rows}.json"
+    if use_cache and cache.exists():
+        return _load_params(cache)
+
+    fp_pi_count, fq_pi_count = _measure_pi_counts(rows)
+    fp_dummy = _dummy_circuit(PALLAS, rows, fp_pi_count, 1)
+    fq_dummy = _dummy_circuit(VESTA, rows, fq_pi_count, 2)
+
+    dummy_params = IVCParams(rows=rows, fp_circuit=fp_dummy, fq_circuit=fq_dummy)
+    state0 = IVCState.init(dummy_params)
+    from ..curves import ec_mul
+
+    fp_trace, fq_trace = build_ivc_traces(
+        rows, fp_pi_count, fq_pi_count, state0, None,
+        fp_circuit=fp_dummy, fq_circuit=fq_dummy, accs=None, static=False,
+    )
+    fp_circuit, _, _ = fp_trace.consume()
+    fq_circuit, _, _ = fq_trace.consume()
+    assert fp_circuit.rows <= rows, f"IVC circuit needs {fp_circuit.rows} > {rows} rows"
+    reset()
+
+    params = IVCParams(rows=rows, fp_circuit=fp_circuit, fq_circuit=fq_circuit)
+    if use_cache:
+        CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        _save_params(cache, params)
+    return params
+
+
+def _save_params(path: Path, params: IVCParams) -> None:
+    def enc_circ(c):
+        return {
+            "rows": c.rows,
+            "public_input_count": c.public_input_count,
+            "omega": str(c.omega),
+            "qs": [_enc_pt(p) for p in c.Cs.qs],
+            "rs": [_enc_pt(p) for p in c.Cs.rs],
+            "ids": [_enc_pt(p) for p in c.Cs.ids],
+            "sigmas": [_enc_pt(p) for p in c.Cs.sigmas],
+        }
+
+    path.write_text(
+        json.dumps(
+            {"rows": params.rows, "fp": enc_circ(params.fp_circuit), "fq": enc_circ(params.fq_circuit)}
+        )
+    )
+
+
+def _enc_pt(p):
+    return None if p is None else [str(p[0]), str(p[1])]
+
+
+def _dec_pt(p):
+    return None if p is None else (int(p[0]), int(p[1]))
+
+
+def _load_params(path: Path) -> IVCParams:
+    data = json.loads(path.read_text())
+
+    def dec_circ(c):
+        return PlonkCircuit(
+            rows=c["rows"],
+            public_input_count=c["public_input_count"],
+            omega=int(c["omega"]),
+            Cs=PlonkCircuitCommitments(
+                qs=[_dec_pt(p) for p in c["qs"]],
+                rs=[_dec_pt(p) for p in c["rs"]],
+                ids=[_dec_pt(p) for p in c["ids"]],
+                sigmas=[_dec_pt(p) for p in c["sigmas"]],
+            ),
+        )
+
+    return IVCParams(rows=data["rows"], fp_circuit=dec_circ(data["fp"]), fq_circuit=dec_circ(data["fq"]))

@@ -36,11 +36,19 @@ def domain_element(m: int, n: int, i: int) -> int:
     return _roots(m, n.bit_length() - 1, False)[i % n]
 
 
+import os
+
+# above this size, route host NTT calls through the device tier
+NTT_DEVICE_MIN = int(os.environ.get("HALO_TPU_DEVICE_NTT_MIN", "8192"))
+
+
 def ntt_host(m: int, vec: list[int], inverse: bool = False) -> list[int]:
     """In-order radix-2 NTT: out[i] = p(w^i); matches ark-poly's fft."""
     n = len(vec)
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
+    if n >= NTT_DEVICE_MIN:
+        return _ntt_device(m, vec, inverse)
     a = list(vec)
     # bit reversal
     j = 0
@@ -71,6 +79,18 @@ def ntt_host(m: int, vec: list[int], inverse: bool = False) -> list[int]:
         n_inv = pow(n, -1, m)
         a = [x * n_inv % m for x in a]
     return a
+
+
+def _ntt_device(m: int, vec: list[int], inverse: bool) -> list[int]:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .ops import ff, ntt
+
+    ctx = ff.ctx_for(m)
+    a = ff.to_mont_jit(ctx, jnp.asarray(ff.ints_to_array(vec)))
+    out = ntt.intt_jit(ctx, a) if inverse else ntt.ntt_jit(ctx, a)
+    return ff.array_to_ints(np.asarray(ff.from_mont_jit(ctx, out)))
 
 
 def poly_eval(m: int, coeffs: list[int], z: int) -> int:

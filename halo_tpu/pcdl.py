@@ -58,6 +58,8 @@ import os
 
 # below this size the host Pippenger beats device dispatch+compile overhead
 DEVICE_MSM_MIN = int(os.environ.get("HALO_TPU_DEVICE_MSM_MIN", "512"))
+# minimum n for the device IPA fold loop (ops/ipa.py)
+DEVICE_OPEN_MIN = int(os.environ.get("HALO_TPU_DEVICE_OPEN_MIN", "4096"))
 
 
 def _srs_msm(cfg: CurveCfg, scalars: list[int]) -> Affine:
@@ -209,6 +211,12 @@ def open_without_eval(
     assert n > 1 and n & (n - 1) == 0
     assert len(p) <= n
     m = cfg.r
+
+    if w is None and n >= DEVICE_OPEN_MIN:
+        from .ops.ipa import open_without_eval_device
+
+        return open_without_eval_device(cfg, p, C, d, z, v)
+
     pp = load_srs(cfg.name, _pp_size(cfg, n))
     transcript = Sponge(Protocols.PCDL, cfg)
 

@@ -1,0 +1,175 @@
+"""Device polynomial engine: the PLONK prover's bulk math on limb arrays.
+
+This is the TPU compute tier of the prover (SURVEY.md §7.1): NTT/iNTT,
+pointwise constraint algebra, quotient division, batched evaluation, and
+SRS commitments all operate on Montgomery-limb jnp arrays; the host
+orchestrates rounds and runs the (tiny, sequential) Poseidon transcript.
+
+The device prover is validated by bit-identical proof equality against the
+host prover (both are deterministic in the non-hiding path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import CurveCfg
+from ..fields import two_adic_root_of_unity
+from ..ops import ec, ff, msm as msm_ops, ntt
+from ..ops.ff import NLIMBS, U32, FFCtx
+
+
+@dataclass(frozen=True)
+class Engine:
+    cfg_name: str
+    m: int  # scalar modulus
+
+    @property
+    def ctx(self) -> FFCtx:
+        return ff.ctx_for(self.m)
+
+    # ---------------- conversions ---------------- #
+
+    def to_dev(self, vals: list[int]) -> jnp.ndarray:
+        """ints -> (n, 16) Montgomery limbs."""
+        return ff.to_mont_jit(self.ctx, jnp.asarray(ff.ints_to_array(vals)))
+
+    def to_dev_batch(self, cols: list[list[int]]) -> jnp.ndarray:
+        """k lists of n ints -> (k, n, 16) Montgomery limbs (one transfer)."""
+        flat = [v for col in cols for v in col]
+        arr = ff.ints_to_array(flat).reshape(len(cols), -1, NLIMBS)
+        return ff.to_mont_jit(self.ctx, jnp.asarray(arr))
+
+    def to_ints(self, dev: jnp.ndarray) -> list[int]:
+        out = np.asarray(ff.from_mont_jit(self.ctx, dev))
+        return ff.array_to_ints(out.reshape(-1, NLIMBS))
+
+    # ---------------- polynomial ops ---------------- #
+
+    def intt(self, evals: jnp.ndarray) -> jnp.ndarray:
+        return ntt.intt_jit(self.ctx, evals)
+
+    def ntt(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        return ntt.ntt_jit(self.ctx, coeffs)
+
+    def ntt_extended(self, coeffs: jnp.ndarray, big_n: int) -> jnp.ndarray:
+        """Evaluate degree-<n coeffs over the size-big_n domain."""
+        pad = big_n - coeffs.shape[-2]
+        padded = jnp.concatenate(
+            [coeffs, jnp.zeros((*coeffs.shape[:-2], pad, NLIMBS), U32)], axis=-2
+        )
+        return ntt.ntt_jit(self.ctx, padded)
+
+    def mul(self, a, b):
+        return ff.mont_mul_jit(self.ctx, a, b)
+
+    def add(self, a, b):
+        return ff.add_jit(self.ctx, a, b)
+
+    def sub(self, a, b):
+        return ff.sub_jit(self.ctx, a, b)
+
+    def scale(self, a, s: int):
+        sm = self.to_dev([s % self.m])[0]
+        return ff.mont_mul_jit(self.ctx, a, sm)
+
+    def rotate(self, evals: jnp.ndarray, k: int) -> jnp.ndarray:
+        """shift_left by k positions (row i takes value from row i+k)."""
+        return jnp.roll(evals, -k, axis=-2)
+
+    def powers(self, x: int, n: int) -> jnp.ndarray:
+        """[1, x, x^2, ...] as (n,16) Montgomery limbs (host-generated)."""
+        out = [0] * n
+        cur = 1
+        for i in range(n):
+            out[i] = cur
+            cur = cur * x % self.m
+        return self.to_dev(out)
+
+    def eval_batch(self, coeffs: jnp.ndarray, x: int) -> list[int]:
+        """Evaluate (k, n, 16) coefficient batch at x -> k ints."""
+        n = coeffs.shape[-2]
+        pw = self.powers(x, n)
+        prods = ff.mont_mul_jit(self.ctx, coeffs, pw)
+        # per-chunk u32-exact partial sums; the (small) cross-chunk sum is
+        # finished on host in exact python ints (device u64 is unavailable)
+        partial = np.asarray(_chunk_sum_jit(prods), dtype=np.uint64)  # (k, g, 16)
+        rinv = pow(1 << 256, -1, self.m)
+        out = []
+        for row in partial.reshape(-1, *partial.shape[-2:]):
+            cols = row.sum(axis=0, dtype=object)
+            v = sum(int(c) << (16 * i) for i, c in enumerate(cols))
+            out.append(v % self.m * rinv % self.m)
+        return out
+
+    def divide_by_vanishing(self, coeffs: jnp.ndarray, n: int) -> jnp.ndarray:
+        """Exact quotient by X^n - 1 for a (kn,16) coefficient array."""
+        total = coeffs.shape[-2]
+        k = total // n
+        chunks = coeffs.reshape(*coeffs.shape[:-2], k, n, NLIMBS)
+        # q[k-2] = c[k-1]; q[j] = c[j+1] + q[j+1]  (suffix sums of chunks 1..)
+        out = [None] * (k - 1)
+        acc = chunks[..., k - 1, :, :]
+        for j in range(k - 2, -1, -1):
+            out[j] = acc
+            if j > 0:
+                acc = ff.add_jit(self.ctx, acc, chunks[..., j, :, :])
+        return jnp.concatenate(out, axis=-2)
+
+    # ---------------- commitments ---------------- #
+
+    def commit(self, coeffs: jnp.ndarray, d: int):
+        """Commit (n,16) Montgomery coeff array against the SRS -> affine."""
+        vals = self.to_ints(coeffs)
+        from .. import pcdl
+
+        return pcdl.commit(_cfg_of(self.cfg_name), vals, d)
+
+    # ---------------- sequential algebra ---------------- #
+
+    def grand_product(self, ratios: jnp.ndarray) -> jnp.ndarray:
+        """Permutation accumulator: z[0]=1, z[i]=z[i-1]*ratios[i] (i>=1),
+        matching the reference's indexing (protocol.rs:144-155); ratios[0]
+        is unused."""
+        ctx = self.ctx
+
+        def combine(a, b):
+            return ff.mont_mul(ctx, a, b)
+
+        prefix = jax.lax.associative_scan(combine, ratios[1:], axis=0)
+        one = ff.mont_one(ctx, (1,))
+        return jnp.concatenate([one, prefix], axis=0)
+
+    def batch_inv(self, a: jnp.ndarray) -> jnp.ndarray:
+        return ff.mont_inv_jit(self.ctx, a)
+
+
+@jax.jit
+def _chunk_sum_jit(prods: jnp.ndarray) -> jnp.ndarray:
+    """Per-chunk limb-column sums of (..., n, 16): returns (..., groups, 16)
+    u32 partials, exact since each chunk has <= 2^12 values < 2^16."""
+    n = prods.shape[-2]
+    chunk = 1 << 12
+    pad = (-n) % chunk
+    if pad:
+        prods = jnp.concatenate(
+            [prods, jnp.zeros((*prods.shape[:-2], pad, NLIMBS), prods.dtype)], axis=-2
+        )
+    grouped = prods.reshape(*prods.shape[:-2], -1, chunk, NLIMBS)
+    return jnp.sum(grouped, axis=-2)  # (..., groups, 16) u32 exact
+
+
+@lru_cache(maxsize=4)
+def _cfg_of(name: str) -> CurveCfg:
+    from ..curves import PALLAS, VESTA
+
+    return PALLAS if name == "pallas" else VESTA
+
+
+def engine_for(cfg: CurveCfg) -> Engine:
+    return Engine(cfg_name=cfg.name, m=cfg.r)

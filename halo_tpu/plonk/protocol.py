@@ -310,13 +310,26 @@ def public_input_eval(m: int, public_inputs, n_scalar, omega, xi, xi_n):
 # ---------------- prover ---------------- #
 
 
+import os
+
+# route the prover's bulk math through the device tier above this size
+PROVER_DEVICE_MIN = int(os.environ.get("HALO_TPU_DEVICE_PROVER_MIN", "16384"))
+
+
 def naive_prover(
     cfg: CurveCfg,
     circuit: PlonkCircuit,
     public_inputs: PlonkPublicInputs,
     witness: PlonkWitness,
     rng=None,
+    device: bool | None = None,
 ) -> PlonkProof:
+    if device is None:
+        device = circuit.rows >= PROVER_DEVICE_MIN
+    if device:
+        from .protocol_device import naive_prover_device
+
+        return naive_prover_device(cfg, circuit, public_inputs, witness, rng=rng)
     m = cfg.r
     n = circuit.rows
     d = n - 1

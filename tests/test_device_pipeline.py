@@ -1,0 +1,124 @@
+"""Device-tier pipeline equality vs host: IPA open, NTT routing, engine ops."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo_tpu import pcdl
+from halo_tpu.curves import PALLAS
+from halo_tpu.fields import FP_MOD
+from halo_tpu.hostpoly import ntt_host
+from halo_tpu.ops import ff
+from halo_tpu.ops.ipa import open_without_eval_device
+from halo_tpu.plonk.engine import engine_for
+
+rng = random.Random(91)
+
+
+def test_device_open_matches_host():
+    cfg = PALLAS
+    n = 16
+    p = [rng.randrange(cfg.r) for _ in range(n)]
+    z = rng.randrange(cfg.r)
+    C = pcdl.commit(cfg, p, n - 1)
+    from halo_tpu.hostpoly import poly_eval
+
+    v = poly_eval(cfg.r, p, z)
+    host_pi = pcdl.open_without_eval(cfg, p, C, n - 1, z, v, None)
+    dev_pi = open_without_eval_device(cfg, p, C, n - 1, z, v)
+    assert dev_pi.Ls == host_pi.Ls
+    assert dev_pi.Rs == host_pi.Rs
+    assert dev_pi.U == host_pi.U
+    assert dev_pi.c == host_pi.c
+    pcdl.check(cfg, C, n - 1, z, v, dev_pi)
+
+
+def test_device_ntt_routing_matches():
+    m = FP_MOD
+    vec = [rng.randrange(m) for _ in range(32)]
+    from halo_tpu import hostpoly
+
+    old = hostpoly.NTT_DEVICE_MIN
+    try:
+        hostpoly.NTT_DEVICE_MIN = 1
+        dev = ntt_host(m, vec)
+        back = ntt_host(m, dev, inverse=True)
+    finally:
+        hostpoly.NTT_DEVICE_MIN = old
+    pure = ntt_host(m, vec)
+    assert dev == pure
+    assert back == vec
+
+
+def test_engine_roundtrip_and_eval():
+    eng = engine_for(PALLAS)
+    m = PALLAS.r
+    n = 16
+    polys = [[rng.randrange(m) for _ in range(n)] for _ in range(3)]
+    dev = eng.to_dev_batch(polys)
+    assert eng.to_ints(dev) == [v for p in polys for v in p]
+    x = rng.randrange(m)
+    got = eng.eval_batch(dev, x)
+    from halo_tpu.hostpoly import poly_eval
+
+    assert got == [poly_eval(m, p, x) for p in polys]
+
+
+def test_engine_divide_by_vanishing():
+    from halo_tpu.hostpoly import divide_by_vanishing
+
+    eng = engine_for(PALLAS)
+    m = PALLAS.r
+    n = 8
+    f = [rng.randrange(m) for _ in range(4 * n)]
+    dev = eng.to_dev(f)
+    got = eng.to_ints(eng.divide_by_vanishing(dev, n))
+    expected = divide_by_vanishing(m, f, n)
+    expected += [0] * (len(got) - len(expected))
+    assert got == expected
+
+
+def test_device_prover_matches_host():
+    """Device and host provers emit bit-identical proofs (both deterministic)."""
+    from halo_tpu.plonk import protocol
+    from halo_tpu.plonk.circuit import CircuitSpec, TraceBuilder
+    from halo_tpu.plonk.trace import trace_pair
+
+    spec = CircuitSpec()
+    x = spec.fp_witness()
+    y = spec.fp_witness()
+    out = spec.mul_gate(spec.add_gate(x, y), spec.add_gate(x, x))
+    spec.assert_eq_gate(out, out)
+    spec.output_gate(out)
+    tb = TraceBuilder(spec)
+    tb.witness(x, 5)
+    tb.witness(y, 9)
+    fp_trace, _ = trace_pair(tb)
+    circuit, pub, w = fp_trace.consume()
+
+    host = protocol.naive_prover(PALLAS, circuit, pub, w, device=False)
+    dev = protocol.naive_prover(PALLAS, circuit, pub, w, device=True)
+
+    assert dev.vs.__dict__ == host.vs.__dict__
+    assert dev.Cs.__dict__ == host.Cs.__dict__
+    assert dev.pis.r.__dict__ == host.pis.r.__dict__
+    assert dev.pis.r_omega.__dict__ == host.pis.r_omega.__dict__
+    assert dev.acc_next.q.__dict__.keys() == host.acc_next.q.__dict__.keys()
+    assert dev.acc_next.q.C == host.acc_next.q.C
+    assert dev.acc_next.q.v == host.acc_next.q.v
+    protocol.verify(PALLAS, dev, circuit, pub)
+
+
+def test_engine_grand_product():
+    eng = engine_for(PALLAS)
+    m = PALLAS.r
+    n = 8
+    ratios = [rng.randrange(1, m) for _ in range(n)]
+    dev = eng.to_dev(ratios)
+    got = eng.to_ints(eng.grand_product(dev))
+    expected = [1] * n
+    for i in range(1, n):
+        expected[i] = expected[i - 1] * ratios[i] % m
+    assert got == expected
