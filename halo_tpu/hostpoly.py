@@ -49,6 +49,10 @@ def ntt_host(m: int, vec: list[int], inverse: bool = False) -> list[int]:
     assert 1 << log_n == n
     if n >= NTT_DEVICE_MIN:
         return _ntt_device(m, vec, inverse)
+    from . import native
+
+    if native.available() and n >= 8:
+        return native.ntt(m, vec, two_adic_root_of_unity(m, log_n), inverse)
     a = list(vec)
     # bit reversal
     j = 0

@@ -51,6 +51,10 @@ def set_msm_backend(fn: Callable | None) -> None:
 def _msm(cfg: CurveCfg, scalars, points) -> Affine:
     if _MSM_BACKEND is not None:
         return _MSM_BACKEND(cfg, scalars, points)
+    from . import native
+
+    if native.available() and len(scalars) >= 8:
+        return native.msm(cfg, scalars, points)
     return msm_host(cfg, scalars, points)
 
 
@@ -269,11 +273,17 @@ def open_without_eval(
         zs_l, zs_r = zs[:mhalf], zs[mhalf : 2 * mhalf]
         gs_l, gs_r = gs[:mhalf], gs[mhalf : 2 * mhalf]
 
-        dot_l = sum(c * zz for c, zz in zip(cs_r, zs_l)) % m
+        from . import native
+
+        use_native = native.available() and mhalf >= 8
+        if use_native:
+            dot_l = native.scalar_dot(m, cs_r, zs_l)
+            dot_r = native.scalar_dot(m, cs_l, zs_r)
+        else:
+            dot_l = sum(c * zz for c, zz in zip(cs_r, zs_l)) % m
+            dot_r = sum(c * zz for c, zz in zip(cs_l, zs_r)) % m
         L = from_jac(cfg, jac_add(cfg, to_jac(_msm(cfg, cs_r, gs_l)), jac_mul(cfg, H_prime, dot_l)))
         Ls.append(L)
-
-        dot_r = sum(c * zz for c, zz in zip(cs_l, zs_r)) % m
         R = from_jac(cfg, jac_add(cfg, to_jac(_msm(cfg, cs_l, gs_r)), jac_mul(cfg, H_prime, dot_r)))
         Rs.append(R)
 
@@ -284,13 +294,18 @@ def open_without_eval(
         xi_i = xi_next
 
         # fold: G <- G_L + xi*G_R ; c <- c_L + xi^-1 c_R ; z <- z_L + xi z_R
-        folded = [
-            jac_add(cfg, to_jac(gl), jac_mul(cfg, to_jac(gr), xi_next))
-            for gl, gr in zip(gs_l, gs_r)
-        ]
-        gs = batch_normalize(cfg, folded)
-        cs = [(cl + cr * xi_next_inv) % m for cl, cr in zip(cs_l, cs_r)]
-        zs = [(zl + zr * xi_next) % m for zl, zr in zip(zs_l, zs_r)]
+        if use_native:
+            gs = native.ec_fold(cfg, gs_l, gs_r, xi_next)
+            cs = native.batch_axpy(m, cs_l, cs_r, xi_next_inv)
+            zs = native.batch_axpy(m, zs_l, zs_r, xi_next)
+        else:
+            folded = [
+                jac_add(cfg, to_jac(gl), jac_mul(cfg, to_jac(gr), xi_next))
+                for gl, gr in zip(gs_l, gs_r)
+            ]
+            gs = batch_normalize(cfg, folded)
+            cs = [(cl + cr * xi_next_inv) % m for cl, cr in zip(cs_l, cs_r)]
+            zs = [(zl + zr * xi_next) % m for zl, zr in zip(zs_l, zs_r)]
         mhalf //= 2
 
     return EvalProof(Ls=Ls, Rs=Rs, U=gs[0], c=cs[0], C_bar=C_bar, w_prime=w_prime)

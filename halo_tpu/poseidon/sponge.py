@@ -46,6 +46,10 @@ def _sbox(x: int, m: int) -> int:
 
 def permute(state: list[int], m: int) -> list[int]:
     """55 full rounds of the kimchi Poseidon permutation over F_m."""
+    from .. import native
+
+    if native.available():
+        return native.poseidon_permute(m, state)
     mds, rcs = _params_for_modulus(m)
     s0, s1, s2 = state
     for r in range(PERM_ROUNDS_FULL):

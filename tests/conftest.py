@@ -31,4 +31,5 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# NOT "all": serializing the XLA-internal caches segfaults sporadically in
+# zstd on this jaxlib (observed: Fatal Python error in put_executable_and_time)
