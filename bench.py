@@ -1,13 +1,30 @@
-"""Headline benchmark: single-chip MSM throughput at 2^20 points.
+"""Benchmark grid: MSM / NTT / IPA open / PLONK prove on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (the headline metric: Pippenger MSM points/s at 2^20)
+to stdout; the full grid with per-metric correctness bits is written to
+BENCH_GRID.json and echoed to stderr.
 
-vs_baseline compares against arkworks' rayon Pippenger on the reference's
-benchmark machine (~1.5 s for a 2^20 MSM on 20 threads => ~7.0e5 points/s;
-the thesis publishes no direct MSM number, so this is the IVC-prover-derived
-estimate — see BASELINE.md).
+Measurement rules (each metric):
+  * fresh inputs every iteration (no constant-folding / result reuse),
+  * execution is forced by copying the result to host (device_get) —
+    block_until_ready alone has been observed not to force execution on the
+    experimental `axon` TPU platform,
+  * compile/warmup time is reported separately (compile_s),
+  * the last iteration's output is VERIFIED (MSM vs the native C++ host
+    Pippenger; NTT via inverse round-trip; pcdl.open via pcdl.check;
+    PLONK prove via protocol.verify) and the grid records verified: true/false.
 
-Env knobs: HALO_BENCH_N (default 1<<20), HALO_BENCH_ITERS (default 3).
+vs_baseline: the reference publishes no direct kernel numbers; the MSM
+denominator (7.0e5 points/s) is an ESTIMATE derived from the thesis IVC
+prover wall-clock on a 20-thread CPU (BASELINE.md); per-grid-metric
+baselines are null where no defensible reference number exists.
+
+Env knobs: HALO_BENCH_N (headline MSM size, default 1<<20),
+HALO_BENCH_ITERS (default 3), HALO_BENCH_METRICS (comma list:
+msm20,msm16,ntt22,pcdl12,plonk12; default all), HALO_BENCH_PROFILE=dir
+(wrap the headline metric in a jax.profiler trace).
+
+Reference harness shape: crates/accumulation/benches/bench.rs:11-33.
 """
 
 import json
@@ -20,59 +37,267 @@ os.environ.setdefault(
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+sys.modules["zstandard"] = None  # zstd segfaults on this box; force zlib fallback
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax._src import compilation_cache as _jax_cc
 
-REFERENCE_MSM_POINTS_PER_S = 7.0e5
+# sitecustomize imports jax before us, so the module global is already bound
+_jax_cc.zstd = None
+_jax_cc.zstandard = None
+
+REFERENCE_MSM_POINTS_PER_S = 7.0e5  # estimate; see module docstring
+ITERS = int(os.environ.get("HALO_BENCH_ITERS", 3))
+
+GRID = []
 
 
-def main() -> None:
-    n = int(os.environ.get("HALO_BENCH_N", 1 << 20))
-    iters = int(os.environ.get("HALO_BENCH_ITERS", 3))
+def _record(metric, value, unit, *, vs_baseline=None, verified=None, compile_s=None, extra=None):
+    row = {"metric": metric, "value": value, "unit": unit, "vs_baseline": vs_baseline,
+           "verified": verified, "compile_s": compile_s}
+    if extra:
+        row.update(extra)
+    GRID.append(row)
+    print(f"bench: {json.dumps(row)}", file=sys.stderr)
+    return row
 
+
+def _rand_scalars(rng, n, r):
+    """Random scalars < r as 16x16-bit limb arrays (uint32)."""
+    K = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    K[:, 15] &= 0x3FFF  # < 2^254 <= r
+    return K
+
+
+def bench_msm(n: int, headline: bool = False):
+    from halo_tpu import native
     from halo_tpu.curves import PALLAS
-    from halo_tpu.ops import ec, ff
+    from halo_tpu.ops import ec
     from halo_tpu.ops import msm as msm_ops
     from halo_tpu.srs import load_srs
 
-    print(f"bench: devices={jax.devices()}", file=sys.stderr)
     pp = load_srs("pallas", n)
     ctx = ec.ec_ctx(PALLAS)
     P = ec.from_limbs_canonical(ctx, pp.gs_x[:n], pp.gs_y[:n])
+    P = jax.device_put(P)
 
     rng = np.random.default_rng(1234)
-    # random 254-bit scalars as 16-bit limbs (top limb masked to stay < r)
-    K = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
-    K[:, 15] &= 0x3FFF
-    K = jnp.asarray(K)
-
     lanes = 512 if n >= (1 << 16) else 128
+    # fresh scalar sets: one per timed iteration + one warmup
+    Ks = [jax.device_put(jnp.asarray(_rand_scalars(rng, n, PALLAS.r))) for _ in range(ITERS + 1)]
+
     t0 = time.time()
-    out = msm_ops.pippenger_jit(ctx, P, K, lanes)
-    jax.block_until_ready(out)
-    print(f"bench: first run (incl. compile) {time.time() - t0:.1f}s", file=sys.stderr)
+    out = msm_ops.pippenger_jit(ctx, P, Ks[0], lanes)
+    host_out = jax.device_get(out)
+    compile_s = time.time() - t0
+
+    prof_dir = os.environ.get("HALO_BENCH_PROFILE") if headline else None
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+    times = []
+    for i in range(1, ITERS + 1):
+        t0 = time.time()
+        out = msm_ops.pippenger_jit(ctx, P, Ks[i], lanes)
+        host_out = jax.device_get(out)  # forces execution + D2H of one point
+        times.append(time.time() - t0)
+    if prof_dir:
+        jax.profiler.stop_trace()
+    best = min(times)
+
+    # verify the last iteration against the native C++ host Pippenger
+    got = ec.to_affine_ints(ctx, tuple(np.asarray(c)[None] for c in host_out))[0]
+    K = np.asarray(Ks[ITERS]).astype(np.uint64)
+    words = K[:, 0::4] | (K[:, 1::4] << 16) | (K[:, 2::4] << 32) | (K[:, 3::4] << 48)
+    ks_int = [int(w[0]) | int(w[1]) << 64 | int(w[2]) << 128 | int(w[3]) << 192 for w in words]
+    want = native.msm(PALLAS, ks_int, pp.gs_ints(n))
+    verified = got == want
+
+    pps = n / best
+    lg = n.bit_length() - 1
+    return _record(
+        f"msm_pippenger_2^{lg}_points_per_s", round(pps, 1), "points/s",
+        vs_baseline=round(pps / REFERENCE_MSM_POINTS_PER_S, 3) if headline else None,
+        verified=verified, compile_s=round(compile_s, 1),
+        extra={"best_s": round(best, 4), "times_s": [round(t, 4) for t in times]},
+    )
+
+
+def bench_ntt(log_n: int):
+    from halo_tpu.fields import FP_MOD
+    from halo_tpu.ops import ff, ntt
+
+    n = 1 << log_n
+    fctx = ff.ctx_for(FP_MOD)
+    rng = np.random.default_rng(99)
+    ins = []
+    for _ in range(ITERS + 1):
+        limbs = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+        limbs[:, 15] &= 0x3FFF
+        ins.append(jax.device_put(jnp.asarray(limbs)))
+
+    t0 = time.time()
+    out = ntt.ntt_jit(fctx, ins[0])
+    jax.device_get(out[0])
+    compile_s = time.time() - t0
 
     times = []
-    for _ in range(iters):
+    for i in range(1, ITERS + 1):
         t0 = time.time()
-        out = msm_ops.pippenger_jit(ctx, P, K, lanes)
-        jax.block_until_ready(out)
+        out = ntt.ntt_jit(fctx, ins[i])
+        jax.device_get(out[0])
         times.append(time.time() - t0)
     best = min(times)
-    pps = n / best
-    print(f"bench: msm n={n} best={best:.3f}s ({pps:.3e} points/s)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"msm_pippenger_2^{n.bit_length() - 1}_points_per_s",
-                "value": round(pps, 1),
-                "unit": "points/s",
-                "vs_baseline": round(pps / REFERENCE_MSM_POINTS_PER_S, 3),
-            }
-        )
+    # verify: inverse round-trip on the last input
+    back = ntt.intt_jit(fctx, out)
+    verified = bool(np.array_equal(np.asarray(back), np.asarray(ins[ITERS])))
+
+    return _record(
+        f"ntt_2^{log_n}_latency_s", round(best, 4), "s",
+        verified=verified, compile_s=round(compile_s, 1),
+        extra={"times_s": [round(t, 4) for t in times]},
     )
+
+
+def bench_pcdl_open(log_n: int):
+    import random
+
+    from halo_tpu import pcdl
+    from halo_tpu.curves import PALLAS
+
+    n = 1 << log_n
+    rng = random.Random(7)
+    polys = [[rng.randrange(PALLAS.r) for _ in range(n)] for _ in range(ITERS + 1)]
+    z = rng.randrange(PALLAS.r)
+
+    t0 = time.time()
+    C = pcdl.commit(PALLAS, polys[0], n - 1)
+    v = pcdl.poly_eval(PALLAS, polys[0], z)
+    pi = pcdl.open_without_eval(PALLAS, polys[0], C, n - 1, z, v, None)
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(1, ITERS + 1):
+        t0 = time.time()
+        C = pcdl.commit(PALLAS, polys[i], n - 1)
+        v = pcdl.poly_eval(PALLAS, polys[i], z)
+        pi = pcdl.open_without_eval(PALLAS, polys[i], C, n - 1, z, v, None)
+        times.append(time.time() - t0)
+    best = min(times)
+
+    try:
+        pcdl.check(PALLAS, C, n - 1, z, v, pi)
+        verified = True
+    except Exception:
+        verified = False
+
+    return _record(
+        f"pcdl_open_2^{log_n}_latency_s", round(best, 4), "s",
+        verified=verified, compile_s=round(compile_s, 1),
+        extra={"times_s": [round(t, 4) for t in times]},
+    )
+
+
+def _poseidon_chain_circuit(target_rows: int, seed: int):
+    """A circuit of ~target_rows rows: a chain of Poseidon permutations
+    (12 rows each) over witnessed inputs."""
+    import random
+
+    from halo_tpu.fields import FP_MOD
+    from halo_tpu.plonk.circuit import CircuitSpec, TraceBuilder
+    from halo_tpu.plonk.trace import trace_pair
+
+    rng = random.Random(seed)
+    spec = CircuitSpec()
+    w = [spec.fp_witness() for _ in range(3)]
+    wires = tuple(w)
+    n_perms = max(1, (target_rows - 8) // 12)
+    for _ in range(n_perms):
+        for i in range(11):
+            wires = spec.poseidon(i, wires)
+        wires = spec.poseidon_finish(wires)
+    spec.output_gate(wires[0])
+
+    tb = TraceBuilder(spec)
+    for wi in w:
+        tb.witness(wi, rng.randrange(FP_MOD))
+    return trace_pair(tb)
+
+
+def bench_plonk_prove(log_n: int):
+    from halo_tpu.curves import PALLAS
+    from halo_tpu.plonk import protocol
+
+    n = 1 << log_n
+    t0 = time.time()
+    fp_trace, _fq_trace = _poseidon_chain_circuit(n, seed=11)
+    circuit, x, w = fp_trace.consume()
+    build_s = time.time() - t0
+
+    times = []
+    proof = None
+    for _ in range(max(1, ITERS - 1)):
+        t0 = time.time()
+        proof = protocol.naive_prover(PALLAS, circuit, x, w)
+        times.append(time.time() - t0)
+    best = min(times)
+
+    try:
+        protocol.verify(PALLAS, proof, circuit, x)
+        verified = True
+    except Exception:
+        verified = False
+
+    return _record(
+        f"plonk_prove_2^{circuit.rows.bit_length() - 1}_proofs_per_s", round(1.0 / best, 4), "proofs/s",
+        verified=verified, compile_s=round(build_s, 1),
+        extra={"rows": circuit.rows, "best_s": round(best, 3), "times_s": [round(t, 3) for t in times]},
+    )
+
+
+def main() -> None:
+    which = os.environ.get("HALO_BENCH_METRICS", "msm20,msm16,ntt22,pcdl12,plonk12").split(",")
+    n_headline = int(os.environ.get("HALO_BENCH_N", 1 << 20))
+    print(f"bench: devices={jax.devices()}", file=sys.stderr)
+
+    headline = None
+    for name in which:
+        name = name.strip()
+        t0 = time.time()
+        try:
+            if name == "msm20":
+                headline = bench_msm(n_headline, headline=True)
+            elif name == "msm16":
+                bench_msm(1 << 16)
+            elif name == "ntt22":
+                bench_ntt(22)
+            elif name == "pcdl12":
+                bench_pcdl_open(12)
+            elif name == "plonk12":
+                bench_plonk_prove(12)
+            else:
+                print(f"bench: unknown metric {name!r}", file=sys.stderr)
+        except Exception as e:  # record failures rather than aborting the grid
+            _record(name, None, "error", verified=False, extra={"error": f"{type(e).__name__}: {e}"})
+        print(f"bench: {name} total {time.time() - t0:.1f}s", file=sys.stderr)
+
+    grid_path = os.path.join(os.path.dirname(__file__), "BENCH_GRID.json")
+    with open(grid_path, "w") as f:
+        json.dump(GRID, f, indent=1)
+    print(f"bench: grid written to {grid_path}", file=sys.stderr)
+
+    if headline is None or headline["value"] is None:
+        print(json.dumps({"metric": "msm_pippenger_2^20_points_per_s", "value": 0.0,
+                          "unit": "points/s", "vs_baseline": 0.0}))
+    else:
+        print(json.dumps({
+            "metric": headline["metric"],
+            "value": headline["value"],
+            "unit": headline["unit"],
+            "vs_baseline": headline["vs_baseline"],
+        }))
 
 
 if __name__ == "__main__":

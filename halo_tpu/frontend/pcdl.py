@@ -40,9 +40,13 @@ class WireEvalProof:
 
     @staticmethod
     def _make(cfg: CurveCfg, n: int, mk_affine, mk_scalar) -> "WireEvalProof":
+        # creation order matters for node indices: the reference interleaves
+        # L_i, R_i per round (pcdl/mod.rs:127-136), then U, then c
         lg_n = n.bit_length() - 1
-        Ls = [mk_affine(cfg) for _ in range(lg_n)]
-        Rs = [mk_affine(cfg) for _ in range(lg_n)]
+        Ls, Rs = [], []
+        for _ in range(lg_n):
+            Ls.append(mk_affine(cfg))
+            Rs.append(mk_affine(cfg))
         return WireEvalProof(Ls=Ls, Rs=Rs, U=mk_affine(cfg), c=mk_scalar(cfg))
 
     @staticmethod
@@ -112,7 +116,9 @@ class WireInstance:
             transcript.absorb_g([self.pi.Ls[i], self.pi.Rs[i]])
             xi_next = transcript.challenge()
             xis.append(xi_next)
-            C_i = C_i + self.pi.Ls[i] * xi_next.inv() + self.pi.Rs[i] * xi_next
+            # gate-order parity: Rust's `C_i += L*xi^-1 + R*xi` adds the two
+            # terms together FIRST, then into C_i (pcdl/mod.rs:238)
+            C_i = C_i + (self.pi.Ls[i] * xi_next.inv() + self.pi.Rs[i] * xi_next)
 
         h = WireHPoly(xis)
         v_prime = self.pi.c * h.eval(self.z)

@@ -23,6 +23,11 @@ from .sponge import OuterSponge
 class WireOps:
     """protocol.gate_constraints ops-adapter over wires."""
 
+    # no common-subexpression reuse: the reference's in-circuit constraint
+    # expressions re-evaluate sboxes per use, and bit-exact circuit
+    # commitments require reproducing that exact gate stream
+    cse = False
+
     def __init__(self, cfg: CurveCfg):
         self.cfg = cfg
 
@@ -210,13 +215,19 @@ class WirePlonkProof:
             g_prime = g_prime * (pi.vs.ws[i] + beta * pi.vs.sigmas[i] + gamma)
 
         o = WireOps(cfg)
-        # PI(xi) via in-circuit Lagrange evaluation
-        omega_j = circuit.omega
-        pi_term = WireScalar.zero(cfg)
-        for x in public_inputs.public_inputs:
-            l_j = ((xi_n - one) * omega_j) / (n * (xi - omega_j))
-            pi_term = pi_term + l_j * (-x)
-            omega_j = omega_j * circuit.omega
+
+        def pi_term():
+            # PI(xi) via in-circuit Lagrange evaluation; deferred so its
+            # wires are created LAST in f_gc, as in the reference
+            # (public_input_eval_generic called inline as f_gc's final term,
+            # frontend/plonk/mod.rs:529, protocol.rs:564-589)
+            omega_j = circuit.omega
+            total = WireScalar.zero(cfg)
+            for x in public_inputs.public_inputs:
+                l_j = ((xi_n - one) * omega_j) / (n * (xi - omega_j))
+                total = total + l_j * (-x)
+                omega_j = omega_j * circuit.omega
+            return total
 
         f_gc = protocol.gate_constraints(
             o, pi.vs.qs, pi.vs.ws, pi.vs.rs, pi.vs.w_omegas, pi_term, circuit.mds

@@ -35,12 +35,21 @@ def _ring_reduce_point(ctx: ECCtx, P: Point, axis: str) -> Point:
     return P
 
 
-def sharded_msm_fn(ctx: ECCtx, mesh: Mesh, n_per_shard: int, lanes: int, naive: bool = False):
-    """Build a jitted sharded-MSM step over `mesh`.
+_FN_CACHE: dict = {}
+
+
+def sharded_msm_fn(ctx: ECCtx, mesh: Mesh, lanes: int, naive: bool = False):
+    """Build (and cache) a jitted sharded-MSM step over `mesh`.
 
     Inputs: point limbs (N,16)x3 + scalar limbs (N,16), sharded on "data";
-    output: the MSM total as a replicated (3,16) projective point.
+    output: the MSM total as a replicated (3,16) projective point.  The
+    jitted fn is cached per (curve, mesh, lanes, naive) so repeated calls
+    reuse the compiled executable (shapes still trigger XLA re-jit, so
+    callers should pad to canonical sizes).
     """
+    key = (ctx, tuple(d.id for d in mesh.devices.flat), lanes, naive)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
 
     def local_step(X, Y, Z, K):
         P = (X, Y, Z)
@@ -60,7 +69,8 @@ def sharded_msm_fn(ctx: ECCtx, mesh: Mesh, n_per_shard: int, lanes: int, naive: 
         out_specs=(spec_out, spec_out, spec_out),
         check_vma=False,
     )
-    return jax.jit(fn)
+    _FN_CACHE[key] = jax.jit(fn)
+    return _FN_CACHE[key]
 
 
 def msm_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Affine]) -> Affine:
@@ -77,7 +87,7 @@ def msm_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Affi
     P = ec.from_affine_ints(ctx, pts)
     K = jnp.asarray(ff.ints_to_array(ks))
     use_naive = per < 4096
-    fn = sharded_msm_fn(ctx, mesh, per, lanes, naive=use_naive)
+    fn = sharded_msm_fn(ctx, mesh, lanes, naive=use_naive)
     from .mesh import shard_leading
 
     X, Y, Z = (shard_leading(mesh, c) for c in P)

@@ -49,8 +49,17 @@ def _twiddle_grid(m: int, log_n1: int, log_n2: int, inverse: bool) -> np.ndarray
     return ff.ints_to_array(rows).reshape(n1, n2, NLIMBS)
 
 
-def distributed_ntt_fn(ctx: FFCtx, mesh: Mesh, log_n: int, inverse: bool = False):
-    """Jitted distributed NTT over `mesh`; input (n, 16) sharded on axis 0."""
+_FN_CACHE: dict = {}
+
+
+def distributed_ntt_fn(ctx: FFCtx, mesh: Mesh, log_n: int, inverse: bool = False,
+                       natural_order: bool = True):
+    """Jitted distributed NTT over `mesh`; input (n, 16) sharded on axis 0.
+
+    The compiled fn is cached per (field, mesh, size, direction, layout)."""
+    key = (ctx, tuple(d.id for d in mesh.devices.flat), log_n, inverse, natural_order)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
     d = mesh.devices.size
     log_d = d.bit_length() - 1
     assert 1 << log_d == d
@@ -83,7 +92,15 @@ def distributed_ntt_fn(ctx: FFCtx, mesh: Mesh, log_n: int, inverse: bool = False
         # 1/n1 * 1/n2 = 1/n, so no extra global scale is needed.
         back = jax.lax.all_to_all(C, "data", split_axis=0, concat_axis=1, tiled=True)
         out = ntt._ntt_impl(ctx, back, log_n2, inverse)  # (n1/d, n2, L)
-        return out.reshape(n // d, NLIMBS)
+        if not natural_order:
+            return out.reshape(n // d, NLIMBS)
+        # re-layout to natural order ON DEVICE: grid position [j1, j2] holds
+        # A[j2*n1 + j1]; a natural-order array block-sharded on j gives
+        # device i the j2-slab [i*n2/d, (i+1)*n2/d) for ALL j1 — one more
+        # all_to_all (split j2, concat j1) + a local transpose.
+        slab = jax.lax.all_to_all(out, "data", split_axis=1, concat_axis=0, tiled=True)
+        # slab: (n1, n2/d, L); natural local row = j2_local*n1 + j1
+        return slab.swapaxes(0, 1).reshape(n // d, NLIMBS)
 
     fn = shard_map(
         local,
@@ -92,26 +109,21 @@ def distributed_ntt_fn(ctx: FFCtx, mesh: Mesh, log_n: int, inverse: bool = False
         out_specs=PartitionSpec("data"),
         check_vma=False,
     )
-    return jax.jit(fn)
+    _FN_CACHE[key] = jax.jit(fn)
+    return _FN_CACHE[key]
 
 
-def ntt_distributed(ctx: FFCtx, mesh: Mesh, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """Run the distributed NTT and restore natural output order on host.
+def ntt_distributed(ctx: FFCtx, mesh: Mesh, a: jnp.ndarray, inverse: bool = False,
+                    natural_order: bool = True) -> jnp.ndarray:
+    """Run the distributed NTT; output stays on device, sharded over the mesh.
 
-    Output grid position [j1, j2] holds A[j2*n1 + j1]; the caller-facing
-    result is re-laid out to natural order (a transpose of the (n1, n2)
-    grid), done with a replicated gather at the end.
+    With natural_order=True (default) the result rows are in standard NTT
+    output order; with False the caller gets the transposed (j1-major) grid
+    layout and saves one all_to_all.
     """
     n = a.shape[0]
     log_n = n.bit_length() - 1
-    d = mesh.devices.size
-    fn = distributed_ntt_fn(ctx, mesh, log_n, inverse)
+    fn = distributed_ntt_fn(ctx, mesh, log_n, inverse, natural_order)
     from .mesh import shard_leading
 
-    out = fn(shard_leading(mesh, a))
-    n1 = d
-    n2 = n // d
-    # out rows are j1-major grid [j1, j2]; natural A[j] = grid[j % n1, j // n1]
-    grid = np.asarray(out).reshape(n1, n2, NLIMBS)
-    natural = grid.transpose(1, 0, 2).reshape(n, NLIMBS)  # A[j2*n1+j1] ordering
-    return jnp.asarray(natural)
+    return fn(shard_leading(mesh, a))

@@ -66,6 +66,51 @@ class Gate:
     data: object = None
 
 
+def petgraph_toposort(spec: "CircuitSpec") -> list[int]:
+    """Exact replica of petgraph::algo::toposort's DFS node order.
+
+    The reference assigns trace rows by walking the gate DAG in the order
+    petgraph's toposort emits (trace_builder.rs:153), so bit-exact q/r/sigma
+    polynomials require reproducing it precisely: an explicit-stack DFS over
+    node identifiers 0..n, where visiting a node pushes its not-yet-
+    discovered successors in reverse edge-insertion order (petgraph iterates
+    a node's outgoing edges most-recently-added first), and nodes are
+    appended to the finish stack when popped; the reversed finish stack is
+    the topological order.  Edge insertion order: one edge per gate input,
+    in input-declaration order, at gate creation (circuit_spec.rs:257-506).
+    """
+    n = len(spec.gates)
+    out_edges: list[list[int]] = [[] for _ in range(n)]
+    for gi, g in enumerate(spec.gates):
+        for w in g.ins:
+            out_edges[w.node].append(gi)
+
+    discovered = bytearray(n)
+    finished = bytearray(n)
+    finish_stack: list[int] = []
+    stack: list[int] = []
+    for i in range(n):
+        if discovered[i]:
+            continue
+        stack.append(i)
+        while stack:
+            nx = stack[-1]
+            if not discovered[nx]:
+                discovered[nx] = 1
+                # petgraph pushes neighbors latest-edge-first, so the stack
+                # top (visited next) is the EARLIEST-inserted edge's target
+                for succ in reversed(out_edges[nx]):
+                    if not discovered[succ]:
+                        stack.append(succ)
+            else:
+                stack.pop()
+                if not finished[nx]:
+                    finished[nx] = 1
+                    finish_stack.append(nx)
+    finish_stack.reverse()
+    return finish_stack
+
+
 class CircuitSpec:
     def __init__(self, with_consts: bool = True):
         self.gates: list[Gate] = []
@@ -78,8 +123,14 @@ class CircuitSpec:
         self.zero: list[Optional[Wire]] = [None, None]
         self.one: list[Optional[Wire]] = [None, None]
         if with_consts:
-            self.zero = [self.constant(FP, 0), self.constant(FQ, 0)]
-            self.one = [self.constant(FP, 1), self.constant(FQ, 1)]
+            # node-index parity with the reference: fp_zero, fp_one, fq_zero,
+            # fq_one in THAT creation order (circuit_spec.rs:160-169)
+            fp_zero = self.constant(FP, 0)
+            fp_one = self.constant(FP, 1)
+            fq_zero = self.constant(FQ, 0)
+            fq_one = self.constant(FQ, 1)
+            self.zero = [fp_zero, fq_zero]
+            self.one = [fp_one, fq_one]
 
     # ---------------- construction helpers ---------------- #
 
@@ -388,7 +439,7 @@ class TraceBuilder:
                 for c, v in enumerate(r_row):
                     rs[f][c][row0] = v % MODS[f]
 
-        node_order = self.order(spec) if self.order else range(len(spec.gates))
+        node_order = self.order(spec) if self.order else petgraph_toposort(spec)
 
         for node_idx in node_order:
             g = spec.gates[node_idx]

@@ -38,6 +38,13 @@ from .constants import CONSTRAINT_DEGREE_MULTIPLIER, Q_POLYS, R_POLYS, S_POLYS, 
 from .trace import PlonkCircuit, PlonkPublicInputs, PlonkWitness
 
 
+# Byte layout mirrors what arkworks CanonicalSerialize would derive for the
+# reference structs (protocol.rs:30-62): fields in declaration order, fixed
+# [T; N] arrays as N items with no length prefix, scalars 32 LE bytes,
+# points compressed.  (The reference never derives serialization for
+# PlonkProof, so this is OUR canonical proof wire format.)
+
+
 @dataclass
 class PlonkProofEvals:
     ws: list[int]
@@ -50,6 +57,26 @@ class PlonkProofEvals:
     z_omega: int
     w_omegas: list[int]
 
+    def serialize(self, w, cfg: CurveCfg) -> None:
+        for v in (*self.ws, *self.rs, *self.qs, *self.ts, *self.ids,
+                  *self.sigmas, self.z, self.z_omega, *self.w_omegas):
+            w.field(int(v))
+
+    @classmethod
+    def deserialize(cls, r, cfg: CurveCfg) -> "PlonkProofEvals":
+        m = cfg.r
+        return cls(
+            ws=[r.field(m) for _ in range(W_POLYS)],
+            rs=[r.field(m) for _ in range(R_POLYS)],
+            qs=[r.field(m) for _ in range(Q_POLYS)],
+            ts=[r.field(m) for _ in range(T_POLYS)],
+            ids=[r.field(m) for _ in range(S_POLYS)],
+            sigmas=[r.field(m) for _ in range(S_POLYS)],
+            z=r.field(m),
+            z_omega=r.field(m),
+            w_omegas=[r.field(m) for _ in range(3)],
+        )
+
 
 @dataclass
 class PlonkProofCommitments:
@@ -57,11 +84,34 @@ class PlonkProofCommitments:
     ts: list[Affine]
     z: Affine
 
+    def serialize(self, w, cfg: CurveCfg) -> None:
+        for p in (*self.ws, *self.ts, self.z):
+            w.point_compressed(cfg, p)
+
+    @classmethod
+    def deserialize(cls, r, cfg: CurveCfg) -> "PlonkProofCommitments":
+        return cls(
+            ws=[r.point_compressed(cfg) for _ in range(W_POLYS)],
+            ts=[r.point_compressed(cfg) for _ in range(T_POLYS)],
+            z=r.point_compressed(cfg),
+        )
+
 
 @dataclass
 class PlonkProofEvalProofs:
     r: pcdl.EvalProof
     r_omega: pcdl.EvalProof
+
+    def serialize(self, w, cfg: CurveCfg) -> None:
+        self.r.serialize(w, cfg)
+        self.r_omega.serialize(w, cfg)
+
+    @classmethod
+    def deserialize(cls, r, cfg: CurveCfg) -> "PlonkProofEvalProofs":
+        return cls(
+            r=pcdl.EvalProof.deserialize(r, cfg),
+            r_omega=pcdl.EvalProof.deserialize(r, cfg),
+        )
 
 
 @dataclass
@@ -70,6 +120,37 @@ class PlonkProof:
     Cs: PlonkProofCommitments
     pis: PlonkProofEvalProofs
     acc_next: acc_mod.Accumulator
+
+    def serialize(self, w, cfg: CurveCfg) -> None:
+        self.vs.serialize(w, cfg)
+        self.Cs.serialize(w, cfg)
+        self.pis.serialize(w, cfg)
+        self.acc_next.serialize(w, cfg)
+
+    def to_bytes(self, cfg: CurveCfg) -> bytes:
+        from ..serde import Writer
+
+        w = Writer()
+        self.serialize(w, cfg)
+        return w.data()
+
+    @classmethod
+    def deserialize(cls, r, cfg: CurveCfg) -> "PlonkProof":
+        return cls(
+            vs=PlonkProofEvals.deserialize(r, cfg),
+            Cs=PlonkProofCommitments.deserialize(r, cfg),
+            pis=PlonkProofEvalProofs.deserialize(r, cfg),
+            acc_next=acc_mod.Accumulator.deserialize(r, cfg),
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes, cfg: CurveCfg) -> "PlonkProof":
+        from ..serde import Reader
+
+        r = Reader(data)
+        out = cls.deserialize(r, cfg)
+        assert r.done(), "trailing bytes in proof"
+        return out
 
 
 def _scalar_mds(cfg: CurveCfg):
@@ -129,17 +210,36 @@ class EvalsOps:
 
 
 def poseidon_constraints(o, M, r, w, nw):
+    """Gate stream mirrors poseidon_constraints_generic (protocol.rs:623-648)
+    exactly for the wire tier: sbox is the left-assoc 6-mul x^7 and is
+    RE-evaluated at each of the 3 MDS rows, and the add/sub trees are
+    left-associated.  Prover tiers (o.cse truthy, the default) memoize the
+    sbox per input to avoid tripling the extended-domain work — value-
+    identical, so proofs are unchanged."""
+    cache: dict = {}
+    cse = getattr(o, "cse", True)
+
     def sbox(x):
-        x2 = o.mul(x, x)
-        x3 = o.mul(x2, x)
-        return o.mul(o.mul(x3, x3), x)
+        key = id(x)
+        if cse and key in cache:
+            return cache[key]
+        out = x
+        for _ in range(6):
+            out = o.mul(out, x)
+        cache[key] = out
+        return out
 
     def rnd(w0, w1, w2, w3, w4, w5, r0, r1, r2):
-        s0, s1, s2 = sbox(w0), sbox(w1), sbox(w2)
-        t0 = o.sub(w3, o.add(r0, o.add(o.smul(s0, M[0][0]), o.add(o.smul(s1, M[0][1]), o.smul(s2, M[0][2])))))
-        t1 = o.sub(w4, o.add(r1, o.add(o.smul(s0, M[1][0]), o.add(o.smul(s1, M[1][1]), o.smul(s2, M[1][2])))))
-        t2 = o.sub(w5, o.add(r2, o.add(o.smul(s0, M[2][0]), o.add(o.smul(s1, M[2][1]), o.smul(s2, M[2][2])))))
-        return o.add(t0, o.add(t1, t2))
+        def row(rc, i):
+            # r + sbox(w0)*M[i][0] + sbox(w1)*M[i][1] + sbox(w2)*M[i][2]
+            t = o.add(rc, o.smul(sbox(w0), M[i][0]))
+            t = o.add(t, o.smul(sbox(w1), M[i][1]))
+            return o.add(t, o.smul(sbox(w2), M[i][2]))
+
+        # ((((w3 - X) + w4) - Y) + w5) - Z
+        acc = o.sub(w3, row(r0, 0))
+        acc = o.sub(o.add(acc, w4), row(r1, 1))
+        return o.sub(o.add(acc, w5), row(r2, 2))
 
     total = rnd(w[0], w[1], w[2], w[3], w[4], w[5], r[0], r[1], r[2])
     total = o.add(total, rnd(w[3], w[4], w[5], w[6], w[7], w[8], r[3], r[4], r[5]))
@@ -190,18 +290,24 @@ def affine_add_constraints(o, w):
 
 
 def affine_mul_constraints(o, w, nw, two_pow_i):
+    """Gate stream mirrors affine_mul_constraints_generic (protocol.rs:763+)
+    exactly: the xp/lambda precompute block comes first, cached lambda^2 and
+    2xp are reused, (one - xp*beta_q) is recomputed per line like the
+    reference, and the final bit-accumulator line is
+    (result + bit_acc_next) - (bit_acc + b*2^i)."""
     one = o.one
     xp, yp, a, xg, yg, b, xq, yq, xr, yr, bq, lq, ar, gr, dr, lr = w
 
-    res = o.mul(o.sub(one, o.mul(xp, bq)), xq)
-    res = o.add(res, o.mul(o.sub(one, o.mul(xp, bq)), yq))
-
     xpxp = o.mul(xp, xp)
+    xp2 = o.add(xp, xp)
+    lqlq = o.mul(lq, lq)
     xpxp3 = o.add(o.add(xpxp, xpxp), xpxp)
     yp2 = o.add(yp, yp)
+
+    res = o.mul(o.sub(one, o.mul(xp, bq)), xq)
+    res = o.add(res, o.mul(o.sub(one, o.mul(xp, bq)), yq))
     res = o.add(res, o.sub(o.mul(yp2, lq), xpxp3))
-    xp2 = o.add(xp, xp)
-    res = o.add(res, o.sub(o.sub(o.mul(lq, lq), xp2), xq))
+    res = o.add(res, o.sub(o.sub(lqlq, xp2), xq))
     res = o.add(res, o.sub(o.sub(o.mul(lq, o.sub(xp, xq)), yp), yq))
 
     # R = Q + G (complete add constraint block with (xq,yq)+(xg,yg)=(xr,yr))
@@ -242,8 +348,8 @@ def affine_mul_constraints(o, w, nw, two_pow_i):
     xs, ys, bit_acc_next = nw
     res = o.add(res, o.sub(xs, o.add(o.mul(b, xr), o.mul(o.sub(one, b), xq))))
     res = o.add(res, o.sub(ys, o.add(o.mul(b, yr), o.mul(o.sub(one, b), yq))))
-    res = o.add(res, o.sub(bit_acc_next, o.add(a, o.mul(b, two_pow_i))))
-    return res
+    # (result + bit_acc_next) - (bit_acc + b * two_pow_i)
+    return o.sub(o.add(res, bit_acc_next), o.add(a, o.mul(b, two_pow_i)))
 
 
 def range_check_constraints(o, w, nw, r):
@@ -255,30 +361,38 @@ def range_check_constraints(o, w, nw, r):
 
 
 def eq_constraints(o, w):
+    """eq_generic (protocol.rs): result = (a-b)*eq; result += (a-b)*inv + eq - one
+    — note the reference adds eq BEFORE subtracting one."""
     a, b, one_w, eq, invv = w[:5]
     res = o.mul(o.sub(a, b), eq)
-    res = o.add(res, o.add(o.sub(o.mul(o.sub(a, b), invv), one_w), eq))
+    res = o.add(res, o.sub(o.add(o.mul(o.sub(a, b), invv), eq), one_w))
     return res
 
 
 def gate_constraints(o, qs, ws, rs, nws, pi_term, mds):
-    """f_gc = sum of selector-weighted constraint terms + PI (protocol.rs:183-193)."""
+    """f_gc = sum of selector-weighted constraint terms + PI (protocol.rs:183-193).
+
+    Gate-order parity with the reference's in-circuit expression
+    (frontend/plonk/mod.rs:512-529): constraint terms first (poseidon,
+    affine-add, affine-mul, eq, range-check), then the sum built with the
+    reference's exact operand order, with the PI term evaluated LAST (pass a
+    0-arg callable for pi_term to defer its wire creation)."""
     pos = poseidon_constraints(o, mds, rs, ws, nws)
     aadd = affine_add_constraints(o, ws)
     amul = affine_mul_constraints(o, ws, nws, rs[0])
     eqc = eq_constraints(o, ws)
     rc = range_check_constraints(o, ws, nws, rs)
     f_gc = o.mul(ws[0], qs[0])
-    f_gc = o.add(f_gc, o.mul(qs[1], ws[1]))
-    f_gc = o.add(f_gc, o.mul(qs[2], ws[2]))
-    f_gc = o.add(f_gc, o.mul(o.mul(qs[3], ws[0]), ws[1]))
+    f_gc = o.add(f_gc, o.mul(ws[1], qs[1]))
+    f_gc = o.add(f_gc, o.mul(ws[2], qs[2]))
+    f_gc = o.add(f_gc, o.mul(o.mul(ws[0], ws[1]), qs[3]))
     f_gc = o.add(f_gc, qs[4])
     f_gc = o.add(f_gc, o.mul(qs[5], pos))
     f_gc = o.add(f_gc, o.mul(qs[6], aadd))
     f_gc = o.add(f_gc, o.mul(qs[7], amul))
     f_gc = o.add(f_gc, o.mul(qs[8], eqc))
     f_gc = o.add(f_gc, o.mul(qs[9], rc))
-    f_gc = o.add(f_gc, pi_term)
+    f_gc = o.add(f_gc, pi_term() if callable(pi_term) else pi_term)
     return f_gc
 
 
@@ -330,6 +444,9 @@ def naive_prover(
         from .protocol_device import naive_prover_device
 
         return naive_prover_device(cfg, circuit, public_inputs, witness, rng=rng)
+    from ..utils.timing import RoundTimer
+
+    timer = RoundTimer(f"plonk.prover[{cfg.name}, n={circuit.rows}]")
     m = cfg.r
     n = circuit.rows
     d = n - 1
@@ -351,9 +468,12 @@ def naive_prover(
     nw_big = [w_big[i].shift_left_small_domain(n) for i in range(3)]
     pi_big = HostEvals.from_poly(m, pi_poly, big_n)
 
+    timer.mark("round0.interpolate+extend")
+
     # ---- Round 1 ----
     C_ws = [pcdl.commit(cfg, p, d) for p in polys.ws]
     transcript.absorb_g(C_ws)
+    timer.mark("round1.commit_ws")
 
     # ---- Round 3 ----
     beta = transcript.challenge()
@@ -383,6 +503,7 @@ def naive_prover(
 
     C_z = pcdl.commit(cfg, z_poly, d)
     transcript.absorb_g([C_z])
+    timer.mark("round3.grand_product")
 
     # ---- Round 4 ----
     alpha = transcript.challenge()
@@ -405,6 +526,7 @@ def naive_prover(
     ts = [t_full[i * n : (i + 1) * n] for i in range(T_POLYS)]
     C_ts = [pcdl.commit(cfg, tp, d) for tp in ts]
     transcript.absorb_g(C_ts)
+    timer.mark("round4.quotient")
 
     # ---- Round 5 ----
     zeta = transcript.challenge()
@@ -429,6 +551,7 @@ def naive_prover(
     q_r_omega = pcdl.Instance.open(cfg, r_omega_poly, d, xi * witness.omega % m, w=None, rng=rng)
 
     acc_next = acc_mod.prover(cfg, [acc_prev.q, q_r, q_r_omega], rng=rng)
+    timer.mark("round5.open+accumulate")
 
     vs = PlonkProofEvals(
         ws=[poly_eval(m, p, xi) for p in polys.ws],
@@ -441,6 +564,8 @@ def naive_prover(
         z_omega=poly_eval(m, z_poly, xi * witness.omega % m),
         w_omegas=[poly_eval(m, p, xi) for p in w_omegas],
     )
+    timer.mark("round5.evals")
+    timer.report()
     return PlonkProof(
         vs=vs,
         Cs=PlonkProofCommitments(ws=C_ws, ts=C_ts, z=C_z),

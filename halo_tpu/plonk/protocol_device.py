@@ -68,6 +68,9 @@ def naive_prover_device(
     witness: PlonkWitness,
     rng=None,
 ) -> PlonkProof:
+    from ..utils.timing import RoundTimer
+
+    timer = RoundTimer(f"plonk.prover_device[{cfg.name}, n={circuit.rows}]")
     eng = engine_for(cfg)
     m = cfg.r
     n = circuit.rows
@@ -103,6 +106,7 @@ def naive_prover_device(
     # ---- Round 1 ----
     C_ws = [eng.commit(ws_dev[i], d) for i in range(W_POLYS)]
     transcript.absorb_g(C_ws)
+    timer.mark("round0+1.extend+commit_ws")
 
     # ---- Round 3 ----
     beta = transcript.challenge()
@@ -137,6 +141,7 @@ def naive_prover_device(
 
     C_z = eng.commit(z_poly, d)
     transcript.absorb_g([C_z])
+    timer.mark("round3.grand_product")
 
     # ---- Round 4 ----
     alpha = transcript.challenge()
@@ -180,6 +185,7 @@ def naive_prover_device(
     ts_dev = t_full.reshape(T_POLYS, n, ff.NLIMBS)
     C_ts = [eng.commit(ts_dev[i], d) for i in range(T_POLYS)]
     transcript.absorb_g(C_ts)
+    timer.mark("round4.quotient")
 
     # ---- Round 5 ----
     zeta = transcript.challenge()
@@ -204,6 +210,7 @@ def naive_prover_device(
     q_r_omega = pcdl.Instance.open(cfg, r_omega_ints, d, xi * witness.omega % m, w=None, rng=rng)
 
     acc_next = acc_mod.prover(cfg, [acc_prev.q, q_r, q_r_omega], rng=rng)
+    timer.mark("round5.open+accumulate")
 
     # ---- final evaluations (batched) ----
     all_polys = jnp.concatenate(
@@ -232,6 +239,8 @@ def naive_prover_device(
         z_omega=z_omega_e,
         w_omegas=w_omegas_e,
     )
+    timer.mark("round5.evals")
+    timer.report()
     return PlonkProof(
         vs=vs,
         Cs=PlonkProofCommitments(ws=C_ws, ts=C_ts, z=C_z),

@@ -13,8 +13,9 @@ Bit-exact re-implementation of the reference semantics
     bit when converting down to a smaller scalar field
 
 Only a handful of sponge evaluations happen per protocol round, so this host
-tier is not performance-critical; the batched in-circuit/witness tier lives
-in halo_tpu/ops/poseidon.py.
+tier is not performance-critical; bulk permutation work (batched witness
+generation, many-leaf hashing) uses the device tier in halo_tpu/ops/
+poseidon.py (permute_batch) or the C++ batch path (native.poseidon_permute).
 """
 
 from __future__ import annotations

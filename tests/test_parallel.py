@@ -43,6 +43,58 @@ def test_distributed_ntt_matches_single(mesh8):
     assert ff.array_to_ints(dist) == ff.array_to_ints(single)
 
 
+def test_distributed_ntt_stays_on_device(mesh8):
+    """The natural-order re-layout happens via all_to_all, not a host gather:
+    the result must still be sharded over the mesh."""
+    ctx = ff.FP_CTX
+    n = 128
+    a = ff.to_mont_jit(ctx, ff.ints_to_array([rng.randrange(FP_MOD) for _ in range(n)]))
+    out = pntt.ntt_distributed(ctx, mesh8, a)
+    assert len(out.sharding.device_set) == 8
+
+
+def test_distributed_ntt_transposed_layout(mesh8):
+    """natural_order=False returns the j1-major grid (one all_to_all saved)."""
+    ctx = ff.FP_CTX
+    log_n = 7
+    n = 1 << log_n
+    d = 8
+    coeffs = [rng.randrange(FP_MOD) for _ in range(n)]
+    a = ff.to_mont_jit(ctx, ff.ints_to_array(coeffs))
+    single = np.asarray(ntt.ntt_jit(ctx, a)).reshape(d, n // d, -1)
+    grid = np.asarray(pntt.ntt_distributed(ctx, mesh8, a, natural_order=False))
+    # grid[j1, j2] holds natural output A[j2*d + j1]
+    nat = np.asarray(ntt.ntt_jit(ctx, a)).reshape(n // d, d, -1).transpose(1, 0, 2)
+    assert np.array_equal(grid.reshape(d, n // d, -1), nat)
+    del single
+
+
+def test_pipeline_disjoint_submeshes(mesh8):
+    """pp analog: two curve MSMs run concurrently on disjoint sub-meshes
+    (reference independence point: ivc/mod.rs:648-649)."""
+    from halo_tpu.parallel import pipeline
+
+    subs = pipeline.split_mesh(mesh8, 2)
+    assert len(subs) == 2
+    ids0 = {d.id for d in subs[0].devices.flat}
+    ids1 = {d.id for d in subs[1].devices.flat}
+    assert ids0.isdisjoint(ids1) and len(ids0) == len(ids1) == 4
+
+    n = 64
+    jobs = []
+    for cfg in (hc.PALLAS, hc.VESTA):
+        pts = [hc.ec_mul(cfg, cfg.generator, rng.randrange(1, cfg.r)) for _ in range(n)]
+        ks = [rng.randrange(cfg.r) for _ in range(n)]
+        jobs.append((cfg, ks, pts))
+
+    def mk_task(cfg, ks, pts):
+        return lambda sub: pmsm.msm_sharded(cfg, sub, ks, pts)
+
+    got = pipeline.run_disjoint(mesh8, [mk_task(*j) for j in jobs])
+    want = [hc.msm_host(cfg, ks, pts) for cfg, ks, pts in jobs]
+    assert got == want
+
+
 def test_distributed_intt_roundtrip(mesh8):
     ctx = ff.FP_CTX
     n = 128
