@@ -307,12 +307,49 @@ class IVCState:
         protocol.verify(VESTA, self.fq_proof, self.params.fq_circuit, self.fq_public_input)
 
 
+def _params_from_reference_fixture() -> IVCParams | None:
+    """The committed fixture tests/fixtures/ivc_consts.json holds the
+    reference's frozen IVC_FP_CIRCUIT/IVC_FQ_CIRCUIT (ivc/mod.rs:52-165),
+    which freeze_ivc_circuits(65536) reproduces bit-exactly
+    (tests/test_ivc_consts.py) — so it doubles as a zero-cost frozen-params
+    source for the production row count."""
+    import json as _json
+
+    fix = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "ivc_consts.json"
+    if not fix.exists():
+        return None
+    data = _json.loads(fix.read_text())
+
+    def dec(c):
+        return PlonkCircuit(
+            rows=c["rows"],
+            public_input_count=c["public_input_count"],
+            omega=int(c["omega"]),
+            Cs=PlonkCircuitCommitments(
+                qs=[_dec_pt(p) for p in c["qs"]],
+                rs=[_dec_pt(p) for p in c["rs"]],
+                ids=[_dec_pt(p) for p in c["ids"]],
+                sigmas=[_dec_pt(p) for p in c["sigmas"]],
+            ),
+        )
+
+    return IVCParams(rows=data["fp_circuit"]["rows"],
+                     fp_circuit=dec(data["fp_circuit"]),
+                     fq_circuit=dec(data["fq_circuit"]))
+
+
 def freeze_ivc_circuits(rows: int, use_cache: bool = True) -> IVCParams:
     """Build and freeze the fixed IVC circuit pair for a given row count
-    (the print_ivc_circuit equivalent).  Heavy: runs a full dummy trace."""
+    (the print_ivc_circuit equivalent).  Heavy: runs a full dummy trace.
+    At the production size (2^16) the committed reference fixture is used
+    directly (verified identical to our own freeze by test_ivc_consts)."""
     cache = CACHE_DIR / f"ivc-circuits-{rows}.json"
     if use_cache and cache.exists():
         return _load_params(cache)
+    if use_cache and rows == 65536:
+        params = _params_from_reference_fixture()
+        if params is not None:
+            return params
 
     fp_pi_count, fq_pi_count = _measure_pi_counts(rows)
     fp_dummy = _dummy_circuit(PALLAS, rows, fp_pi_count, 1)

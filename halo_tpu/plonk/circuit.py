@@ -698,8 +698,9 @@ class TraceBuilder:
                 )
                 for wire in g.outs:
                     wire_vals[f][wire.id] = point_acc[wire.out_id]
-                copy[f][g.outs[0].id].append(slots[0])
-                copy[f][g.outs[1].id].append(slots[1])
+                # NOTE: the reference does NOT copy-constrain the scalar-mul
+                # outputs to the zero row (trace_builder.rs:728-729 only sets
+                # the dead wire_output_slots) — sigma parity requires the same
             elif k == "witness_bool":
                 (out,) = g.outs
                 f = out.fid

@@ -96,7 +96,10 @@ def test_freeze_ivc_circuits_matches_reference(consts):
     build_sigma, the row layout, and the preprocessing commitments."""
     from halo_tpu.frontend.ivc import freeze_ivc_circuits
 
-    params = freeze_ivc_circuits(ROWS)
+    # use_cache=False: recompute from scratch — the cached params and the
+    # production load path come FROM this fixture, so a cached comparison
+    # would be circular
+    params = freeze_ivc_circuits(ROWS, use_cache=False)
 
     for name, circ in (("fp_circuit", params.fp_circuit), ("fq_circuit", params.fq_circuit)):
         ref = consts[name]

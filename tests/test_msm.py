@@ -42,8 +42,54 @@ def test_scan_sum_matches_tree():
     assert got == expected
 
 
+def _pippenger_case(cfg, pts, ks, lanes):
+    ctx = ec.ec_ctx(cfg)
+    P = ec.from_affine_ints(ctx, pts)
+    K = jnp.asarray(ff.ints_to_array(ks))
+    total = msm.pippenger_jit(ctx, P, K, lanes)
+    got = ec.to_affine_ints(ctx, tuple(c[None] for c in total))[0]
+    assert got == hc.msm_host(cfg, ks, pts)
+
+
+def test_pippenger_default_and_adversarial_digits():
+    """The production bucket-accumulation path (sort + run-detection +
+    cross-chunk merge, ops/msm.py:81-155) under the DEFAULT suite, with
+    adversarial digit patterns: all-zero scalars, all-equal digits
+    (maximal runs crossing every chunk boundary), duplicate points,
+    infinities, and r-1.  n=4096 / lanes=128 exercises multi-chunk merge.
+
+    One jit compile is shared by all cases (same shapes)."""
+    cfg = hc.PALLAS
+    n = 4096
+    lanes = 128
+    base_pts, _ = _points_scalars(cfg, 32)
+    pts = (base_pts * (n // 32))[:n]  # duplicate points in the same buckets
+
+    # case 1: random + structured edges
+    ks = [rng.randrange(cfg.r) for _ in range(n)]
+    ks[0] = 0
+    ks[1] = cfg.r - 1
+    ks[2] = 1
+    _pippenger_case(cfg, pts, ks, lanes)
+
+    # case 2: all-equal scalars -> every window has one giant run spanning
+    # all chunks; plus a block of zeros (digit-0 dominating)
+    k = rng.randrange(cfg.r)
+    ks = [k] * n
+    ks[: n // 4] = [0] * (n // 4)
+    _pippenger_case(cfg, pts, ks, lanes)
+
+    # case 3: infinities mixed in + tiny digit diversity (runs end exactly
+    # at lane-chunk boundaries: scalars constant per 128-lane chunk)
+    pts3 = list(pts)
+    for i in range(0, n, 7):
+        pts3[i] = None
+    ks = [(i // lanes) % 3 for i in range(n)]
+    _pippenger_case(cfg, pts3, ks, lanes)
+
+
 @pytest.mark.slow
-def test_pippenger_matches_host():
+def test_pippenger_large_matches_host():
     cfg = hc.PALLAS
     ctx = ec.ec_ctx(cfg)
     n = 8192

@@ -1,0 +1,87 @@
+"""IVC end-to-end demo: Schnorr throughput + a chain of IVC steps.
+
+The TPU-native equivalent of the reference's plonk binary
+(crates/plonk/src/main.rs:31-87): benchmark naive Schnorr verification,
+then run init -> prove -> verify for N recursion steps over the Pasta
+2-cycle at the frozen 2^16-row IVC circuit, printing per-phase wall-clock.
+
+Usage:
+    python tools/ivc_demo.py [--steps 3] [--rows 65536] [--sigs 2000]
+
+The frozen circuit params come from .cache/ivc-circuits-<rows>.json
+(produced by freeze_ivc_circuits, pinned bit-exact against the reference's
+IVC_FP_CIRCUIT/IVC_FQ_CIRCUIT in tests/test_ivc_consts.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.modules.setdefault("zstandard", None)  # zstd segfaults on this box
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", str(Path(__file__).resolve().parents[1] / ".cache" / "jax")
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--rows", type=int, default=65536)
+    ap.add_argument("--sigs", type=int, default=2000)
+    args = ap.parse_args()
+
+    import random
+
+    from halo_tpu import schnorr
+    from halo_tpu.curves import PALLAS
+    from halo_tpu.frontend.ivc import IVCState, freeze_ivc_circuits
+
+    rng = random.Random(17)
+
+    # ---- naive Schnorr verification throughput (main.rs:36-47) ----
+    sk = rng.randrange(1, PALLAS.r)
+    from halo_tpu.curves import ec_mul
+
+    pk = ec_mul(PALLAS, PALLAS.generator, sk)
+    msg = [rng.randrange(PALLAS.r) for _ in range(10)]
+    sig = schnorr.sign(PALLAS, sk, msg, k=rng.randrange(1, PALLAS.r))
+    t0 = time.time()
+    for _ in range(args.sigs):
+        assert schnorr.verify(PALLAS, pk, msg, sig)
+    dt = time.time() - t0
+    print(f"Verified {args.sigs / dt:.1f} signatures per second", flush=True)
+
+    # ---- IVC chain ----
+    t0 = time.time()
+    params = freeze_ivc_circuits(args.rows)
+    print(f"freeze_ivc_circuits({args.rows}) took {time.time() - t0:.1f} s "
+          f"(cached={Path('.cache/ivc-circuits-%d.json' % args.rows).exists()})", flush=True)
+
+    t0 = time.time()
+    state = IVCState.init(params)
+    print(f"IVC Init took {time.time() - t0:.1f} s", flush=True)
+
+    t0 = time.time()
+    state.verify()
+    print(f"(0) IVC Verifier took {time.time() - t0:.1f} s", flush=True)
+
+    for i in range(args.steps):
+        t0 = time.time()
+        state = state.prove()
+        print(f"({i} -> {i + 1}) IVC Prover took {time.time() - t0:.1f} s", flush=True)
+
+        t0 = time.time()
+        state.verify()
+        print(f"({i + 1}) IVC Verifier took {time.time() - t0:.1f} s", flush=True)
+
+    print("IVC chain OK")
+
+
+if __name__ == "__main__":
+    main()
