@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from . import pcdl
 from .curves import Affine, CurveCfg, from_jac, jac_add, jac_mul, to_jac
 from .pcdl import HPoly, Instance
+from .errors import AccumulationError
 from .poseidon.sponge import Protocols, Sponge
 from .serde import Reader, Writer
 
@@ -112,13 +113,13 @@ def prover(cfg: CurveCfg, qs: list[Instance], rng=None) -> Accumulator:
 def verifier(cfg: CurveCfg, qs: list[Instance], acc: Accumulator) -> None:
     C_prime, d_prime, z_prime, h = common_subroutine(cfg, qs)
     if C_prime != acc.q.C:
-        raise ValueError("acc verifier: C_bar' != C_bar")
+        raise AccumulationError("acc verifier: C_bar' != C_bar")
     if z_prime != acc.q.z:
-        raise ValueError("acc verifier: z' != z")
+        raise AccumulationError("acc verifier: z' != z")
     if d_prime != acc.q.d:
-        raise ValueError("acc verifier: d' != d")
+        raise AccumulationError("acc verifier: d' != d")
     if h.eval(acc.q.z) != acc.q.v:
-        raise ValueError("acc verifier: h(z) != v")
+        raise AccumulationError("acc verifier: h(z) != v")
 
 
 def decider(cfg: CurveCfg, acc: Accumulator) -> None:

@@ -33,6 +33,7 @@ from .curves import (
     to_jac,
 )
 from .fields import inv
+from .errors import PcdlCheckError
 from .poseidon.sponge import Protocols, Sponge
 from .serde import Reader, Writer
 from .srs import load_srs
@@ -199,6 +200,24 @@ def commit(cfg: CurveCfg, p: list[int], d: int, w: int | None = None) -> Affine:
     return acc
 
 
+def chunked_commit(
+    cfg: CurveCfg, p: list[int], d: int, w: int | None = None, chunk_size: int = 1 << 10
+) -> list[Affine]:
+    """Commit coefficient chunks separately (reference pcdl.rs:294-314):
+    the degree-scaling mechanism for polynomials past the SRS bound."""
+    n = d + 1
+    assert n & (n - 1) == 0, "n must be a power of two"
+    out = []
+    for i in range(0, max(len(p), 1), chunk_size):
+        chunk = [c % cfg.r for c in p[i : i + chunk_size]]
+        acc = _srs_msm(cfg, chunk)
+        if w is not None:
+            pp = load_srs(cfg.name, _pp_size(cfg, n))
+            acc = ec_add(cfg, acc, ec_mul(cfg, pp.S, w))
+        out.append(acc)
+    return out
+
+
 def open_without_eval(
     cfg: CurveCfg,
     p: list[int],
@@ -363,7 +382,7 @@ def succinct_check(
     v_prime = pi.c * h.eval(z) % m
     rhs = jac_add(cfg, jac_mul(cfg, to_jac(pi.U), pi.c), jac_mul(cfg, to_jac(H_prime), v_prime))
     if from_jac(cfg, C_i) != from_jac(cfg, rhs):
-        raise ValueError("succinct_check failed: C_lg != U*c + H'*(c*h(z))")
+        raise PcdlCheckError("succinct_check failed: C_lg != U*c + H'*(c*h(z))")
     return h, pi.U
 
 
@@ -372,4 +391,4 @@ def check(cfg: CurveCfg, C: Affine, d: int, z: int, v: int, pi: EvalProof) -> No
     h, U = succinct_check(cfg, C, d, z, v, pi)
     comm = _srs_msm(cfg, h.coeffs())
     if U != comm:
-        raise ValueError("check failed: U != MSM(Gs, h_coeffs)")
+        raise PcdlCheckError("check failed: U != MSM(Gs, h_coeffs)")

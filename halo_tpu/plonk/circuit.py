@@ -303,6 +303,22 @@ class CircuitSpec:
         self.output_wire_count[x.fid] += 1
         self._push(Gate("output", (x,), (), n))
 
+    def print_gate(self, x: Wire, label: str) -> None:
+        """Debug print of a wire's value at trace time (GateType::Print,
+        circuit_spec.rs:549-556); no rows, no constraints."""
+        self._push(Gate("print", (x,), (), label))
+
+    def to_dot(self) -> str:
+        """Graphviz dot of the gate DAG (circuit_spec.rs:558-563 analog)."""
+        lines = ["digraph circuit {"]
+        for i, g in enumerate(self.gates):
+            label = g.kind if g.data is None else f"{g.kind}({g.data})"
+            lines.append(f'  n{i} [label="{i}: {label}"];')
+            for w in g.ins:
+                lines.append(f'  n{w.node} -> n{i} [label="w{w.id}f{w.fid}"];')
+        lines.append("}")
+        return "\n".join(lines)
+
 
 # ---------------- special (0,0)-identity affine helpers ---------------- #
 
@@ -469,6 +485,9 @@ class TraceBuilder:
             elif k == "output":
                 (inp,) = g.ins
                 outputs[inp.fid][g.data] = wire_vals[inp.fid][inp.id]
+            elif k == "print":
+                (inp,) = g.ins
+                print(f"{g.data}: {wire_vals[inp.fid][inp.id]}")
             elif k == "assert_eq":
                 lw, rw = g.ins
                 f = lw.fid
@@ -800,3 +819,26 @@ class TraceData(NamedTuple):
     message_pass_inputs: list
     copy_constraints: list
     outputs: list
+
+    def format_table(self, max_rows: int = 64, width: int = 6) -> str:
+        """Pretty-print the execution trace (the reference's Debug for Trace,
+        utils.rs:74-227): one line per row with truncated w/q/r columns."""
+
+        def fmt(v: int) -> str:
+            s = f"{v:x}"
+            return s if len(s) <= width else s[: width - 1] + "~"
+
+        q_names = ["l", "r", "o", "m", "c", "p", "+", "*", "=", "R"]
+        lines = [f"fid{self.fid} trace: {self.rows} rows, "
+                 f"{len(self.public_inputs)} public inputs"]
+        header = ("row  | " + " ".join(f"w{i:<5}" for i in range(len(self.ws)))
+                  + " | " + " ".join(f"q{n:<4}" for n in q_names))
+        lines.append(header)
+        lines.append("-" * len(header))
+        for row in range(min(self.rows, max_rows)):
+            wcells = " ".join(f"{fmt(col[row]):<6}" for col in self.ws)
+            qcells = " ".join(f"{fmt(col[row] % (1 << 24)):<5}" for col in self.qs)
+            lines.append(f"{row:<4} | {wcells} | {qcells}")
+        if self.rows > max_rows:
+            lines.append(f"... ({self.rows - max_rows} more rows)")
+        return "\n".join(lines)

@@ -33,6 +33,7 @@ from ..hostpoly import (
     poly_sub,
 )
 from ..poseidon.constants import FP_MDS, FQ_MDS
+from ..errors import PlonkVerifyError
 from ..poseidon.sponge import Protocols, Sponge
 from .constants import CONSTRAINT_DEGREE_MULTIPLIER, Q_POLYS, R_POLYS, S_POLYS, T_POLYS, W_POLYS
 from .trace import PlonkCircuit, PlonkPublicInputs, PlonkWitness
@@ -588,7 +589,7 @@ def verify_succinct(
     mds = _scalar_mds(cfg)
 
     if len(public_inputs.public_inputs) != circuit.public_input_count:
-        raise ValueError("public input count mismatch")
+        raise PlonkVerifyError("public input count mismatch")
 
     transcript.absorb_g(pi.Cs.ws)
     beta = transcript.challenge()
@@ -630,7 +631,7 @@ def verify_succinct(
         accp = accp * xi_n % m
 
     if f != t * z_H % m:
-        raise ValueError("PLONK check failed: f(xi) != t(xi) * z_H(xi)")
+        raise PlonkVerifyError("PLONK check failed: f(xi) != t(xi) * z_H(xi)")
 
     def geo_scalar(items):
         result = items[0]
