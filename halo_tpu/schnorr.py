@@ -38,6 +38,12 @@ def sign(cfg: CurveCfg, sk: int, message: list[int], k: int | None = None) -> Sc
 
 def verify(cfg: CurveCfg, pk: Affine, message: list[int], sig: SchnorrSignature) -> bool:
     e = hash_message(cfg, pk, sig.r, message)
+    from . import native
+
+    if native.available():
+        # s*G - e*pk == R as one 2-term MSM on the C++ tier
+        diff = native.msm(cfg, [sig.s, (-e) % cfg.r], [cfg.generator, pk])
+        return diff == sig.r
     lhs = ec_mul(cfg, cfg.generator, sig.s)
     rhs = ec_add(cfg, sig.r, ec_mul(cfg, pk, e))
     return lhs == rhs
