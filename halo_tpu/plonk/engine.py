@@ -51,11 +51,23 @@ class Engine:
 
     # ---------------- polynomial ops ---------------- #
 
+    # A batched NTT jit graph keeps every butterfly stage's (batch, n, 16)
+    # output live in XLA's memory estimate; at (16, 2^19) that exceeds HBM
+    # at COMPILE time (observed: 17.1G > 15.75G on v5e).  Past this
+    # per-graph element budget, run the batch as sequential per-poly
+    # dispatches of the (cached) single-poly executable instead.
+    NTT_BATCH_BUDGET = 1 << 22  # elements per graph (= 256 MB of limbs)
+
+    def _ntt_maybe_loop(self, fn, a: jnp.ndarray) -> jnp.ndarray:
+        if a.ndim == 3 and a.shape[0] > 1 and a.shape[0] * a.shape[1] > self.NTT_BATCH_BUDGET:
+            return jnp.stack([fn(self.ctx, a[i]) for i in range(a.shape[0])])
+        return fn(self.ctx, a)
+
     def intt(self, evals: jnp.ndarray) -> jnp.ndarray:
-        return ntt.intt_jit(self.ctx, evals)
+        return self._ntt_maybe_loop(ntt.intt_jit, evals)
 
     def ntt(self, coeffs: jnp.ndarray) -> jnp.ndarray:
-        return ntt.ntt_jit(self.ctx, coeffs)
+        return self._ntt_maybe_loop(ntt.ntt_jit, coeffs)
 
     def ntt_extended(self, coeffs: jnp.ndarray, big_n: int) -> jnp.ndarray:
         """Evaluate degree-<n coeffs over the size-big_n domain."""
@@ -63,7 +75,7 @@ class Engine:
         padded = jnp.concatenate(
             [coeffs, jnp.zeros((*coeffs.shape[:-2], pad, NLIMBS), U32)], axis=-2
         )
-        return ntt.ntt_jit(self.ctx, padded)
+        return self._ntt_maybe_loop(ntt.ntt_jit, padded)
 
     def mul(self, a, b):
         return ff.mont_mul_jit(self.ctx, a, b)

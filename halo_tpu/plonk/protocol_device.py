@@ -126,6 +126,7 @@ def naive_prover_device(
 
     f_prime_big = prod_factors(ids_big)
     g_prime_big = prod_factors(sigmas_big)
+    del ids_big, sigmas_big  # 2 x (8, 8n, 16) — release HBM before round 4
     f_prime_poly = eng.intt(f_prime_big)
     g_prime_poly = eng.intt(g_prime_big)
 
@@ -134,6 +135,7 @@ def naive_prover_device(
     f_prime_n = f_prime_big[::stride]
     g_prime_n = g_prime_big[::stride]
     ratios = eng.mul(f_prime_n, eng.batch_inv(g_prime_n))
+    del f_prime_big, g_prime_big
     z_evals = eng.grand_product(ratios)  # natural order, z[i] @ w^i
     z_raw = jnp.roll(z_evals, 1, axis=0)
     z_poly = eng.intt(z_raw)
@@ -150,7 +152,9 @@ def naive_prover_device(
     f_gc_big = gate_constraints(
         o, list(q_big), list(w_big), list(r_big), list(nw_big), pi_big, mds
     )
+    del q_big, w_big, r_big, nw_big, pi_big  # ~1.7 GB of 8n-domain arrays
     f_gc_poly = eng.intt(f_gc_big)  # (8n, 16) coeffs
+    del f_gc_big
 
     l1_raw = jnp.zeros((n, ff.NLIMBS), ff.U32).at[1].set(ff.mont_one(eng.ctx))
     l1_poly = eng.intt(l1_raw)
@@ -167,7 +171,9 @@ def naive_prover_device(
     fp_huge = eng.ntt_extended(f_prime_poly[None], huge_n)[0]
     gp_huge = eng.ntt_extended(g_prime_poly[None], huge_n)[0]
     f_cc2_big = eng.sub(eng.mul(z_huge, fp_huge), eng.mul(zw_huge, gp_huge))
+    del z_huge, zw_huge, fp_huge, gp_huge  # 4 x (16n, 16)
     f_cc2_poly = eng.intt(f_cc2_big)  # (16n, 16)
+    del f_cc2_big
 
     def pad_to(x, size):
         return jnp.concatenate([x, jnp.zeros((size - x.shape[0], ff.NLIMBS), ff.U32)])
