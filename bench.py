@@ -84,7 +84,7 @@ def bench_msm(n: int, headline: bool = False):
     P = jax.device_put(P)
 
     rng = np.random.default_rng(1234)
-    lanes = 512 if n >= (1 << 16) else 128
+    lanes = msm_ops.default_lanes(n)
     # fresh scalar sets: one per timed iteration + one warmup
     Ks = [jax.device_put(jnp.asarray(_rand_scalars(rng, n, PALLAS.r))) for _ in range(ITERS + 1)]
 

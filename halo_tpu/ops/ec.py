@@ -10,6 +10,7 @@ rayon-parallel arkworks point ops, crates/group/src/group.rs:48-56).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -20,6 +21,22 @@ import numpy as np
 from ..curves import PALLAS, Affine, CurveCfg
 from . import ff
 from .ff import NLIMBS, U32, FFCtx
+
+# Route batched add/double through the fused Pallas kernels on TPU backends
+# (ops/pallas_ec.py) above this flattened batch size; the jnp path stays the
+# reference implementation and the CPU/CI path.
+PALLAS_EC_MIN = int(os.environ.get("HALO_TPU_PALLAS_EC_MIN", "256"))
+_PALLAS_EC_ON = os.environ.get("HALO_TPU_PALLAS_EC", "1") == "1"
+
+
+def _pallas_batch(*shapes) -> bool:
+    if not _PALLAS_EC_ON or jax.default_backend() == "cpu":
+        return False
+    bshape = jnp.broadcast_shapes(*shapes)
+    n = 1
+    for d in bshape:
+        n *= d
+    return n >= PALLAS_EC_MIN
 
 
 @dataclass(frozen=True)
@@ -97,6 +114,10 @@ def to_affine_ints(ctx: ECCtx, P: Point) -> list[Affine]:
 
 def add(ctx: ECCtx, P: Point, Q: Point) -> Point:
     """Complete addition, a=0 (Renes-Costello-Batina alg. 7); 12M + 2*b3."""
+    if _pallas_batch(P[0].shape[:-1], Q[0].shape[:-1]):
+        from . import pallas_ec
+
+        return pallas_ec.ec_add_pallas(ctx, P, Q)
     f = ctx.base
     mul = partial(ff.mont_mul, f)
     fadd = partial(ff.add, f)
@@ -127,6 +148,10 @@ def add(ctx: ECCtx, P: Point, Q: Point) -> Point:
 
 def double(ctx: ECCtx, P: Point) -> Point:
     """Complete doubling, a=0 (alg. 9); 6M + 2S + 1*b3."""
+    if _pallas_batch(P[0].shape[:-1]):
+        from . import pallas_ec
+
+        return pallas_ec.ec_double_pallas(ctx, P)
     f = ctx.base
     mul = partial(ff.mont_mul, f)
     fadd = partial(ff.add, f)

@@ -6,10 +6,19 @@ device ops; only the 2-point transcript round-trip touches the host
 (SURVEY.md §7.4 item 6).  The G-fold — the reference's biggest inefficiency
 (a full scalar-mul per point) — is one batched 255-step double-and-add over
 the whole half-vector.
+
+Shape discipline: every round runs at the FIXED padded shape n/2 with a
+dynamic active-length mask (inactive scalars zeroed -> contribute identity;
+vectors re-packed with a dynamic roll).  A shape-per-round version compiled
+2*lg(n) distinct MSM/scalar-mul graphs per open — ~30 min of XLA compiles at
+n=2^12 through the axon tunnel before the first byte of work.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +45,36 @@ def _field_dot(fctx, a: jnp.ndarray, b: jnp.ndarray, m: int) -> int:
     return v % m * pow(1 << 256, -1, m) % m
 
 
+@lru_cache(maxsize=8)
+def _round_fns(ectx: ECCtx, fctx, P: int):
+    """Fixed-shape jitted halves of one fold round (compiled once per n).
+
+    f1: masked cross dots + the two L/R MSM points (before the transcript).
+    f2: fold cs/zs/gs with the round challenge and re-split at the new
+        active length a2 (dynamic roll; tail garbage is masked next round).
+    """
+
+    def f1(cs_l, cs_r, zs_l, zs_r, gs_l, gs_r, a):
+        mask = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) < a
+        dl = jnp.where(mask, ff.mont_mul(fctx, cs_r, zs_l), 0)  # summed on host
+        dr = jnp.where(mask, ff.mont_mul(fctx, cs_l, zs_r), 0)
+        # canonical scalars, zeroed outside the active prefix -> identity
+        sc_r = jnp.where(mask, ff.from_mont(fctx, cs_r), 0)
+        sc_l = jnp.where(mask, ff.from_mont(fctx, cs_l), 0)
+        Lmsm = msm_ops.msm_naive(ectx, gs_l, sc_r)
+        Rmsm = msm_ops.msm_naive(ectx, gs_r, sc_l)
+        return dl, dr, Lmsm, Rmsm
+
+    def f2(cs_l, cs_r, zs_l, zs_r, gs_l, gs_r, a2, xi_mont, xi_inv_mont, xi_limbs):
+        cs = ff.add(fctx, cs_l, ff.mont_mul(fctx, cs_r, xi_inv_mont))
+        zs = ff.add(fctx, zs_l, ff.mont_mul(fctx, zs_r, xi_mont))
+        gs = ec.add(ectx, gs_l, ec.scalar_mul(ectx, gs_r, xi_limbs))
+        roll = lambda x: jnp.roll(x, -a2, axis=0)
+        return (cs, roll(cs), zs, roll(zs), gs, tuple(roll(c) for c in gs))
+
+    return jax.jit(f1), jax.jit(f2)
+
+
 def open_without_eval_device(
     cfg: CurveCfg, p: list[int], C: Affine, d: int, z: int, v: int
 ) -> "EvalProof":
@@ -56,7 +95,7 @@ def open_without_eval_device(
     xi_i = transcript.challenge()
     H_prime = ec_mul(cfg, pp.H, xi_i)
 
-    # device state
+    # device state at the fixed half shape P = n/2; `a` = active prefix length
     cs = ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array([c % m for c in p] + [0] * (n - len(p)))))
     zpows = [0] * n
     cur = 1
@@ -65,39 +104,33 @@ def open_without_eval_device(
         cur = cur * z % m
     zs = ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array(zpows)))
     gs = ec.from_limbs_canonical(ectx, pp.gs_x[:n], pp.gs_y[:n])
-    Hp = ec.from_affine_ints(ectx, [H_prime])
-    Hp1 = tuple(c[0] for c in Hp)
+
+    P = n // 2
+    f1, f2 = _round_fns(ectx, fctx, P)
+    cs_l, cs_r = cs[:P], cs[P:]
+    zs_l, zs_r = zs[:P], zs[P:]
+    gs_l = tuple(c[:P] for c in gs)
+    gs_r = tuple(c[P:] for c in gs)
+
+    def exact_sum(prods) -> int:
+        from ..plonk.engine import _chunk_sum_jit
+
+        partial = np.asarray(_chunk_sum_jit(prods), dtype=np.uint64)
+        cols = partial.sum(axis=0, dtype=object)
+        v = sum(int(c) << (16 * i) for i, c in enumerate(cols))
+        return v % m * pow(1 << 256, -1, m) % m
 
     Ls: list[Affine] = []
     Rs: list[Affine] = []
-    mhalf = n // 2
+    a = P
     for _ in range(lg_n):
-        cs_l, cs_r = cs[:mhalf], cs[mhalf:]
-        zs_l, zs_r = zs[:mhalf], zs[mhalf:]
-        gs_l = tuple(c[:mhalf] for c in gs)
-        gs_r = tuple(c[mhalf:] for c in gs)
-
-        dot_l = _field_dot(fctx, cs_r, zs_l, m)
-        dot_r = _field_dot(fctx, cs_l, zs_r, m)
-
-        cs_r_canon = jnp.asarray(
-            np.asarray(ff.from_mont_jit(fctx, cs_r), dtype=np.uint32)
+        dl_prods, dr_prods, Lmsm, Rmsm = f1(
+            cs_l, cs_r, zs_l, zs_r, gs_l, gs_r, jnp.int32(a)
         )
-        cs_l_canon = jnp.asarray(
-            np.asarray(ff.from_mont_jit(fctx, cs_l), dtype=np.uint32)
-        )
-        if mhalf >= 2:
-            Lmsm = msm_ops.msm_naive_jit(ectx, gs_l, cs_r_canon)
-            Rmsm = msm_ops.msm_naive_jit(ectx, gs_r, cs_l_canon)
-            Lpt = _to_affine_one(ectx, Lmsm)
-            Rpt = _to_affine_one(ectx, Rmsm)
-        else:
-            gl = ec.to_affine_ints(ectx, gs_l)[0]
-            gr = ec.to_affine_ints(ectx, gs_r)[0]
-            cl = ff.array_to_ints(np.asarray(cs_l_canon))[0]
-            crv = ff.array_to_ints(np.asarray(cs_r_canon))[0]
-            Lpt = ec_mul(cfg, gl, crv)
-            Rpt = ec_mul(cfg, gr, cl)
+        dot_l = exact_sum(dl_prods)
+        dot_r = exact_sum(dr_prods)
+        Lpt = _to_affine_one(ectx, Lmsm)
+        Rpt = _to_affine_one(ectx, Rmsm)
         L = ec_add(cfg, Lpt, ec_mul(cfg, H_prime, dot_l))
         R = ec_add(cfg, Rpt, ec_mul(cfg, H_prime, dot_r))
         Ls.append(L)
@@ -111,14 +144,14 @@ def open_without_eval_device(
 
         xi_dev = ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array([xi_next])))[0]
         xi_inv_dev = ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array([xi_next_inv])))[0]
-        xi_limbs = jnp.asarray(ff.ints_to_array([xi_next]))  # canonical for scalar_mul
+        xi_limbs = jnp.asarray(ff.ints_to_array([xi_next]))[0]  # canonical
 
-        scaled = ec.scalar_mul_jit(ectx, gs_r, xi_limbs)
-        gs = ec.add_jit(ectx, gs_l, scaled)
-        cs = ff.add_jit(fctx, cs_l, ff.mont_mul_jit(fctx, cs_r, xi_inv_dev))
-        zs = ff.add_jit(fctx, zs_l, ff.mont_mul_jit(fctx, zs_r, xi_dev))
-        mhalf //= 2
+        a //= 2
+        cs_l, cs_r, zs_l, zs_r, gs_l, gs_r = f2(
+            cs_l, cs_r, zs_l, zs_r, gs_l, gs_r,
+            jnp.int32(a), xi_dev, xi_inv_dev, xi_limbs,
+        )
 
-    U = _to_affine_one(ectx, tuple(c[0] for c in gs))
-    c_final = ff.array_to_ints(np.asarray(ff.from_mont_jit(fctx, cs[:1])))[0]
+    U = _to_affine_one(ectx, tuple(c[0] for c in gs_l))
+    c_final = ff.array_to_ints(np.asarray(ff.from_mont_jit(fctx, cs_l[:1])))[0]
     return pcdl.EvalProof(Ls=Ls, Rs=Rs, U=U, c=c_final, C_bar=None, w_prime=None)

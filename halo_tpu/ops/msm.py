@@ -27,6 +27,7 @@ and as a differential cross-check.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -43,6 +44,25 @@ OVF = 1 << 16  # overflow bucket slot for masked scatters
 
 def available() -> bool:
     return True
+
+
+def _wide_schedule() -> bool:
+    """Pick the reduction schedule by backend.
+
+    Accelerators get log-depth reductions (tree halvings, associative scan):
+    sequential-step latency dominates there, and with the heavy limb math
+    living in cached Pallas kernels the extra graph-shape instantiations are
+    cheap to compile.  XLA *CPU* (the CI backend) is the opposite: each
+    ec.add instantiation is a giant jnp graph that takes minutes to compile,
+    so CI keeps the few-instantiation sequential lax.scan schedule.  Both
+    schedules compute identical bucket sums (differential tests run the CPU
+    one; the bench verifies the accelerator one against the native host MSM
+    in-run).  HALO_TPU_WIDE_SCHEDULE=0/1 overrides (e.g. to differential-
+    test the accelerator schedule on the CPU mesh)."""
+    env = os.environ.get("HALO_TPU_WIDE_SCHEDULE")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
 
 
 # ---------------- SRS device cache ---------------- #
@@ -140,6 +160,31 @@ def _bucket_accumulate(ctx: ECCtx, pts_sorted: Point, keys: jnp.ndarray, lanes: 
     seq_keys = interleave(head_piece[1], tail_piece[1])
     seq_close = interleave(head_piece[2], tail_piece[2])
 
+    if _wide_schedule():
+        # Segmented inclusive sum over the 2*lanes piece sequence, log-depth.
+        # Pieces of one run are contiguous and share its (globally unique)
+        # key, so segment starts are key changes; the run's full sum lands at
+        # its closing piece (the head piece of the lane where the run ends),
+        # and the per-run scatter keys are distinct => conflict-free scatter.
+        # (A sequential merge scan is 2*lanes dependent steps of single point
+        # adds — the dominant latency at production sizes.)
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), seq_keys[1:] != seq_keys[:-1]]
+        )
+
+        def seg_combine(a, b):
+            pa, fa = a
+            pb, fb = b
+            merged = ec.select(fb, pb, ec.add(ctx, pa, pb))
+            return (merged, fa | fb)
+
+        run_sums, _ = jax.lax.associative_scan(seg_combine, (seq_pts, seg_start))
+        idx = jnp.where(seq_close, seq_keys, OVF)
+        B = tuple(b.at[idx].set(r) for b, r in zip(B, run_sums))
+        return B
+
+    # CPU/CI schedule: one sequential merge scan (a single add-graph
+    # instantiation keeps XLA CPU compile time sane; see _wide_schedule).
     def merge_body(state, inp):
         running, cur_key, B = state
         pt, key, close = inp
@@ -181,8 +226,18 @@ def scan_sum(ctx: ECCtx, P: Point) -> Point:
     return total
 
 
+def _tree_reduce_axis0(ctx: ECCtx, P: Point) -> Point:
+    """Reduce a (k, ..., 16) point batch over axis 0 in log2(k) halvings
+    (k a power of two).  Each level is one wide batched add — log-depth
+    instead of a k-step sequential scan."""
+    while P[0].shape[0] > 1:
+        h = P[0].shape[0] // 2
+        P = ec.add(ctx, tuple(c[:h] for c in P), tuple(c[h:] for c in P))
+    return tuple(c[0] for c in P)
+
+
 def _weighted_sum_256(ctx: ECCtx, P: Point) -> Point:
-    """sum_a a * P[a] for a 256-point batch (8-bit double-and-add + scan)."""
+    """sum_a a * P[a] for a 256-point batch (8-bit double-and-add + tree)."""
     digits = jnp.arange(256, dtype=U32)
 
     def body(i, state):
@@ -193,21 +248,28 @@ def _weighted_sum_256(ctx: ECCtx, P: Point) -> Point:
         return acc, base
 
     weighted, _ = jax.lax.fori_loop(0, 8, body, (ec.identity(ctx, (256,)), P))
+    if _wide_schedule():
+        return _tree_reduce_axis0(ctx, weighted)
     return scan_sum(ctx, weighted)
 
 
 def _window_sum(ctx: ECCtx, B: Point) -> Point:
     """sum_d d*B[d] over 2^16 buckets, d = hi*256 + lo:
     256 * sum_a a*R_a + sum_b b*C_b with R/C the row/col sums of the
-    (256, 256)-reshaped bucket grid.  O(2*65536 + ~5k) adds per window."""
+    (256, 256)-reshaped bucket grid, each reduced in 8 log-depth levels."""
     grid = tuple(c[: 1 << 16].reshape(256, 256, NLIMBS) for c in B)
-
-    def row_red(acc, row):  # reduces over axis 0 -> column sums C_b
-        return ec.add(ctx, acc, row), None
-
-    col_sums, _ = jax.lax.scan(row_red, ec.identity(ctx, (256,)), grid)
     grid_t = tuple(c.swapaxes(0, 1) for c in grid)
-    row_sums, _ = jax.lax.scan(row_red, ec.identity(ctx, (256,)), grid_t)
+
+    if _wide_schedule():
+        col_sums = _tree_reduce_axis0(ctx, grid)  # reduce over hi -> C_lo
+        row_sums = _tree_reduce_axis0(ctx, grid_t)  # reduce over lo -> R_hi
+    else:
+
+        def row_red(acc, row):
+            return ec.add(ctx, acc, row), None
+
+        col_sums, _ = jax.lax.scan(row_red, ec.identity(ctx, (256,)), grid)
+        row_sums, _ = jax.lax.scan(row_red, ec.identity(ctx, (256,)), grid_t)
 
     w_hi = _weighted_sum_256(ctx, row_sums)
     w_lo = _weighted_sum_256(ctx, col_sums)
@@ -262,11 +324,22 @@ def msm_srs(cfg: CurveCfg, scalars: list[int]) -> Affine:
     return _msm_device(ctx, P, scalars)
 
 
+def default_lanes(n: int) -> int:
+    """Bucket-accumulation width: wide enough that the sequential row scan
+    is short (~128 steps) without making the cross-chunk merge dominate.
+    On the CPU schedule (sequential merge over 2*lanes pieces) stay narrow."""
+    cap = 8192 if _wide_schedule() else 512
+    lanes = 128
+    while lanes < cap and lanes * 128 < n:
+        lanes *= 2
+    return lanes
+
+
 def _msm_device(ctx: ECCtx, P: Point, scalars: list[int]) -> Affine:
     K = jnp.asarray(ff.ints_to_array([s % ctx.r for s in scalars]))
     n = K.shape[0]
     if n >= 4096:
-        lanes = 512 if n >= (1 << 16) else 128
+        lanes = default_lanes(n)
         pad = (-n) % lanes
         if pad:
             K = jnp.concatenate([K, jnp.zeros((pad, NLIMBS), U32)])

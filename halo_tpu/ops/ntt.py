@@ -48,6 +48,10 @@ def _plan(m: int, log_n: int, inverse: bool):
 
 
 def _ntt_impl(ctx: FFCtx, a: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
+    """In-trace NTT with twiddles inlined as constants — for call sites that
+    are already inside a jit/shard_map trace (e.g. the distributed NTT's
+    per-shard stages, small sizes).  Top-level callers should use ntt()/
+    intt(), which pass the plan as runtime arguments instead."""
     n = 1 << log_n
     assert a.shape[-2] == n
     rev, stage_tw, n_inv = _plan(ctx.m, log_n, inverse)
@@ -67,17 +71,63 @@ def _ntt_impl(ctx: FFCtx, a: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndar
     return x
 
 
+@lru_cache(maxsize=64)
+def _plan_device(m: int, log_n: int, inverse: bool):
+    """Device-resident plan arrays (bitrev indices, per-stage twiddles, n^-1).
+
+    Passed to the jitted kernel as ARGUMENTS, not closure constants: at
+    2^22 the twiddles alone are ~270 MB, which embedded as HLO constants
+    blew past the axon remote-compile request limit (HTTP 413) and bloated
+    every prover compile."""
+    rev, stage_tw, n_inv = _plan(m, log_n, inverse)
+    return (
+        jnp.asarray(rev),
+        tuple(jnp.asarray(t, U32) for t in stage_tw),
+        jnp.asarray(n_inv if inverse else np.zeros(NLIMBS, np.uint32), U32),
+    )
+
+
+@lru_cache(maxsize=64)
+def _ntt_fn(m: int, log_n: int, inverse: bool):
+    ctx = ff.ctx_for(m)
+    n = 1 << log_n
+
+    def fn(a, rev, n_inv, *stage_tw):
+        x = a[..., rev, :]
+        for s in range(1, log_n + 1):
+            mlen = 1 << s
+            half = mlen // 2
+            tw = stage_tw[s - 1]  # (half, 16)
+            xb = x.reshape(*x.shape[:-2], n // mlen, mlen, NLIMBS)
+            even = xb[..., :half, :]
+            odd = xb[..., half:, :]
+            t = ff.mont_mul(ctx, odd, tw)
+            x = jnp.concatenate([ff.add(ctx, even, t), ff.sub(ctx, even, t)], axis=-2)
+            x = x.reshape(*a.shape[:-2], n, NLIMBS)
+        if inverse:
+            x = ff.mont_mul(ctx, x, n_inv)
+        return x
+
+    return jax.jit(fn)
+
+
+def _ntt_dispatch(ctx: FFCtx, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    log_n = int(a.shape[-2]).bit_length() - 1
+    assert a.shape[-2] == 1 << log_n
+    rev, stage_tw, n_inv = _plan_device(ctx.m, log_n, inverse)
+    return _ntt_fn(ctx.m, log_n, inverse)(a, rev, n_inv, *stage_tw)
+
+
 def ntt(ctx: FFCtx, a: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT: Montgomery coeffs (..., n, 16) -> evals at [w^0, w^1, ...]."""
-    log_n = int(a.shape[-2]).bit_length() - 1
-    return _ntt_impl(ctx, a, log_n, False)
+    return _ntt_dispatch(ctx, a, False)
 
 
 def intt(ctx: FFCtx, a: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT: evals -> Montgomery coefficients."""
-    log_n = int(a.shape[-2]).bit_length() - 1
-    return _ntt_impl(ctx, a, log_n, True)
+    return _ntt_dispatch(ctx, a, True)
 
 
-ntt_jit = jax.jit(ntt, static_argnums=0)
-intt_jit = jax.jit(intt, static_argnums=0)
+# dispatchers cache their own jitted kernels; aliases kept for callers
+ntt_jit = ntt
+intt_jit = intt

@@ -138,10 +138,11 @@ def _mont_mul_fn(ctx: FFCtx, n_pad: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((NLIMBS, n_pad), U32),
         interpret=interpret,
     )
-    p_arr = jnp.asarray(p[:, None])
-    npr_arr = jnp.asarray(nprime[:, None])
-    cf = jnp.asarray(_CONV_FULL.T.copy())
-    cl = jnp.asarray(_CONV_LOW.T.copy())
+    # numpy, not jnp: the cached closure may be reused across jit traces
+    p_arr = np.ascontiguousarray(p[:, None])
+    npr_arr = np.ascontiguousarray(nprime[:, None])
+    cf = np.ascontiguousarray(_CONV_FULL.T)
+    cl = np.ascontiguousarray(_CONV_LOW.T)
 
     def fn(at, bt):
         return call(at, bt, p_arr, npr_arr, cf, cl)

@@ -89,6 +89,25 @@ def test_pippenger_default_and_adversarial_digits():
 
 
 @pytest.mark.slow
+def test_pippenger_wide_schedule_matches(monkeypatch):
+    """The ACCELERATOR reduction schedule (log-depth tree window sums +
+    segmented associative-scan merge, ops/msm.py:_wide_schedule) forced on
+    the CPU mesh, vs the host MSM.  Slow: the extra graph-shape
+    instantiations take XLA CPU minutes to compile."""
+    monkeypatch.setenv("HALO_TPU_WIDE_SCHEDULE", "1")
+    cfg = hc.PALLAS
+    n = 4096
+    base_pts, _ = _points_scalars(cfg, 32)
+    pts = (base_pts * (n // 32))[:n]
+    ks = [rng.randrange(cfg.r) for _ in range(n)]
+    ks[0] = 0
+    ks[1] = cfg.r - 1
+    k = rng.randrange(cfg.r)
+    ks[2 : n // 4] = [k] * (n // 4 - 2)  # giant run crossing chunks
+    _pippenger_case(cfg, pts, ks, 128)
+
+
+@pytest.mark.slow
 def test_pippenger_large_matches_host():
     cfg = hc.PALLAS
     ctx = ec.ec_ctx(cfg)
