@@ -32,21 +32,19 @@ import os
 import sys
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".cache", "jax")
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
-sys.modules["zstandard"] = None  # zstd segfaults on this box; force zlib fallback
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax._src import compilation_cache as _jax_cc
 
-# sitecustomize imports jax before us, so the module global is already bound
-_jax_cc.zstd = None
-_jax_cc.zstandard = None
+# Persistent compilation cache.  jax 0.9 ignores JAX_COMPILATION_CACHE_DIR
+# (root cause of round-2's "broken cache": the env var is read into a config
+# default that the axon sitecustomize resets); setting it via jax.config
+# AFTER import works on both the CPU and axon-TPU backends, zstd included
+# (the round-2 zstd segfault was a misdiagnosis of the env-var path).
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".cache", "jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 REFERENCE_MSM_POINTS_PER_S = 7.0e5  # estimate; see module docstring
 ITERS = int(os.environ.get("HALO_BENCH_ITERS", 3))

@@ -1,0 +1,377 @@
+"""Device-tier MSM v2: scatter-free signed-digit Pippenger (the hottest
+kernel; reference: arkworks `msm_unchecked` behind
+crates/group/src/group.rs:48-56, SURVEY.md §2.1).
+
+Redesigned from on-chip measurements of the round-2 implementation
+(ops/msm.py), whose per-window argsort + run-scan + scatter + 256-level
+tree reductions were latency- and scatter-bound (XLA scatter inside a scan
+measured ~1 us/row) and whose many fused-kernel shape instantiations
+dominated compile time.
+
+Pipeline (everything on-device in ONE jitted graph, limb-rows layout):
+
+  1. signed-digit recode   16 windows of 16 bits, digits in [-2^15, 2^15];
+                           bucket key = |digit| (0 = dead), sign folded
+                           into the point (negate y inside the scan kernel).
+  2. sort                  one lax.sort over (16, n): key + (index|sign<<31)
+                           payload -- no scatter, the sort network moves
+                           only 8 bytes/element.
+  3. gather                ONE gather of the packed affine SRS rows
+                           (x_limb | y_limb<<16 -> 16 u32 rows/point) into
+                           all 16 windows' sorted orders, chunk-major:
+                           lane (w, l) owns sorted positions [l*R, (l+1)*R).
+  4. prefix scan           R steps of the fused `pmadd_pack` kernel over
+                           F = 16*L lanes: a PLAIN running prefix -- no
+                           resets, no selects, no emit logic, no scatter.
+  5. bucket sums by        bucket d occupies a contiguous sorted range
+     prefix differences    [l_d, r_d]; Q_d := global-prefix[r_d] is
+                           assembled from the per-lane prefix P[t, lane]
+                           plus an exclusive Blelloch prefix over lane
+                           totals; r_d comes from a vectorized binary
+                           search over the sorted keys.
+  6. Abel telescoping      sum_d d*B_d = 2^15*Q_max - sum_{d<2^15} Q_d, so
+                           the per-window aggregation is ONE tree-sum of
+                           the 2^15 gathered Q_d points -- no suffix scan,
+                           no weighted bucket grids (dead key-0 mass
+                           cancels exactly: coefficient D on both sides).
+  7. window combine        the 16 window sums are pulled to host (tiny) and
+                           Horner-combined in exact Python EC arithmetic.
+
+Work: 16n mixed adds (scan) + ~1.3M adds (prefix/assembly/tree) at n=2^20,
+vs 16n + scatter + 2^20 tree adds before.  No scatter anywhere; the only
+data movement is one sort of 8B/element and one 64B/element gather.
+
+Differential tests: tests/test_msm2.py (interpret mode, vs the native C++
+host Pippenger).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import Affine, CurveCfg
+from . import ff, pallas_mont as pk
+from .ff import MASK, NLIMBS, U32
+
+C_BITS = 16  # window width (8 for the small-bucket CPU test config)
+WINDOWS = 16
+DMAX = 1 << 15  # max |digit|
+
+
+def _cfg_for_c(c_bits: int):
+    """(windows, dmax) for a window width; c must divide 16 (digits must
+    not straddle the 16-bit limbs)."""
+    assert 16 % c_bits == 0
+    return 256 // c_bits, 1 << (c_bits - 1)
+
+
+def available() -> bool:
+    return True
+
+
+# ---------------- host-side exact EC (final combine / verify) ---------------- #
+
+
+def _py_add(p_mod: int, P, Q):
+    if P is None:
+        return Q
+    if Q is None:
+        return P
+    (x1, y1), (x2, y2) = P, Q
+    if x1 == x2 and (y1 + y2) % p_mod == 0:
+        return None
+    if P == Q:
+        lam = (3 * x1 * x1) * pow(2 * y1, -1, p_mod) % p_mod
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, -1, p_mod) % p_mod
+    x3 = (lam * lam - x1 - x2) % p_mod
+    return (x3, (lam * (x1 - x3) - y1) % p_mod)
+
+
+def _py_dbl_n(p_mod: int, P, k: int):
+    for _ in range(k):
+        P = _py_add(p_mod, P, P)
+    return P
+
+
+# ---------------- device pipeline ---------------- #
+
+
+def _choose_lanes(n: int) -> int:
+    """Lanes per window: R = n // L scan steps; keep R in [16, 128]."""
+    lanes = max(256, n // 128)
+    return min(lanes, n // 16) if n >= 4096 else max(32, n // 16)
+
+
+def _recode_signed(K_rows: jnp.ndarray, c_bits: int):
+    """K_rows (16, n) canonical scalar limbs -> signed window digits:
+    (keys (W, n) in [0, 2^(c-1)], sign (W, n) in {0,1})."""
+    windows, dmax = _cfg_for_c(c_bits)
+    per_limb = 16 // c_bits
+    cmask = (1 << c_bits) - 1
+    keys = []
+    signs = []
+    carry = jnp.zeros(K_rows.shape[1:], U32)
+    for w in range(windows):
+        raw = (K_rows[w // per_limb] >> ((w % per_limb) * c_bits)) & cmask
+        t = raw + carry
+        ge = t >= dmax
+        mag = jnp.where(ge, (1 << c_bits) - t, t)  # |digit|; t = 2^c -> 0
+        keys.append(mag)
+        signs.append(ge.astype(U32))
+        carry = ge.astype(U32)
+    return jnp.stack(keys), jnp.stack(signs)
+
+
+def _bisect_right(keys_sorted: jnp.ndarray, queries: jnp.ndarray, n: int):
+    """Vectorized per-window binary search: for each (w, q) the number of
+    sorted keys[w] <= q.  keys_sorted (W, n); queries (q,) -> (W, q)."""
+    W = keys_sorted.shape[0]
+    q = queries.shape[0]
+    lo = jnp.zeros((W, q), jnp.int32)
+    hi = jnp.full((W, q), n, jnp.int32)
+    warr = jnp.arange(W, dtype=jnp.int32)[:, None]
+    qa = jnp.broadcast_to(queries[None, :], (W, q))
+    steps = int(n).bit_length()
+    for _ in range(steps):
+        upd = lo < hi
+        mid = (lo + hi) >> 1  # < n whenever lo < hi
+        kv = keys_sorted[warr, jnp.minimum(mid, n - 1)]
+        go = upd & (kv <= qa)
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(upd & ~go, mid, hi)
+    return lo  # count of keys <= q
+
+
+def _identity_rows(mctx: pk.MontCtx, shape):
+    r1 = ff.int_to_limbs((1 << 256) % mctx.p)
+    X = jnp.zeros((NLIMBS, *shape), U32)
+    Y = jnp.broadcast_to(jnp.asarray(r1, U32).reshape(NLIMBS, *(1,) * len(shape)),
+                         (NLIMBS, *shape))
+    Z = jnp.zeros((NLIMBS, *shape), U32)
+    return (X, Y, Z)
+
+
+def _pad_call(fn, mctx, parts, batch_axes_shape, n_pad_to=pk.BLK):
+    """Flatten trailing batch axes of each (16, ...) array, pad the flat
+    batch to a BLK multiple, call fn, restore shape."""
+    flat = [c.reshape(NLIMBS, -1) for c in parts]
+    n = flat[0].shape[1]
+    npad = max(n_pad_to, ((n + n_pad_to - 1) // n_pad_to) * n_pad_to)
+    if npad != n:
+        flat = [jnp.concatenate([c, jnp.zeros((NLIMBS, npad - n), U32)], axis=1) for c in flat]
+    out = fn(flat)
+    return tuple(o[:, :n].reshape(NLIMBS, *batch_axes_shape) for o in out)
+
+
+def _padd_shaped(mctx, P, Q):
+    shape = P[0].shape[1:]
+    return _pad_call(lambda flat: pk.padd_rows(mctx, flat[:3], flat[3:]),
+                     mctx, [*P, *Q], shape)
+
+
+def _tree_sum(mctx, P, axis_len: int):
+    """Sum a tuple of (16, W, m) points over the last axis via halvings."""
+    cur = P
+    m = axis_len
+    while m > 1:
+        half = m // 2
+        odd = m - 2 * half
+        left = tuple(c[..., :half] for c in cur)
+        right = tuple(c[..., half:2 * half] for c in cur)
+        s = _padd_shaped(mctx, left, right)
+        if odd:
+            cur = tuple(jnp.concatenate([sc, c[..., 2 * half:]], axis=-1)
+                        for sc, c in zip(s, cur))
+            m = half + 1
+        else:
+            cur = s
+            m = half
+    return cur
+
+
+def _excl_prefix(mctx, T, L: int):
+    """Exclusive Blelloch prefix over the last axis of (16, W, L) points."""
+    # upsweep: levels of pairwise sums
+    levels = [T]
+    cur = T
+    m = L
+    while m > 1:
+        resh = tuple(c.reshape(NLIMBS, -1, m // 2, 2) for c in cur)
+        left = tuple(c[..., 0] for c in resh)
+        right = tuple(c[..., 1] for c in resh)
+        cur = _padd_shaped(mctx, left, right)
+        levels.append(cur)
+        m //= 2
+    # downsweep: exclusive prefix
+    E = _identity_rows(mctx, cur[0].shape[1:])  # (16, W, 1)
+    for lvl in reversed(levels[:-1]):
+        m2 = lvl[0].shape[-1]
+        left_in = tuple(c[..., 0::2] for c in lvl)
+        odd = _padd_shaped(mctx, E, left_in)  # E[2m+1] = E_up[m] + S[2m]
+        # interleave: E_new[2m] = E[m], E_new[2m+1] = odd[m]
+        E = tuple(jnp.stack([e, o], axis=-1).reshape(NLIMBS, -1, m2)
+                  for e, o in zip(E, odd))
+    return E
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _msm2_device(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int,
+                 xy_pack: jnp.ndarray, K_rows: jnp.ndarray):
+    """Full device pipeline; returns Q points at the dmax+1 bucket-boundary
+    prefixes per window, reduced to (16, W, 1 + 1): [sum_{d<dmax} Q_d, Q_top]."""
+    windows, dmax = _cfg_for_c(c_bits)
+    L = lanes
+    R = n // L
+    F = windows * L
+
+    keys, signs = _recode_signed(K_rows, c_bits)  # (W, n)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=U32)[None, :], (windows, n))
+    idxsign = idx | (signs << 31)
+    keys_s, idxsign_s = jax.lax.sort((keys, idxsign), dimension=1, num_keys=1)
+    perm = (idxsign_s & 0x7FFFFFFF).astype(jnp.int32)
+    sign_s = idxsign_s >> 31  # (16, n)
+
+    # chunk-major rearrange: lane (w, l) owns sorted positions [l*R, (l+1)*R)
+    gidx = perm.reshape(windows, L, R).transpose(2, 0, 1)  # (R, W, L)
+    sgn = sign_s.reshape(windows, L, R).transpose(2, 0, 1).reshape(R, 1, F)
+
+    gathered = xy_pack[:, gidx]  # (16, R, 16, L)
+    gathered = jnp.moveaxis(gathered, 1, 0).reshape(R, NLIMBS, F)
+
+    # prefix scan: plain running mixed-add, emits every prefix
+    acc0 = _identity_rows(mctx, (F,))
+
+    def body(acc, inp):
+        pack_t, sign_t = inp
+        acc = pk.pmadd_pack_rows(mctx, acc, pack_t, sign_t)
+        return acc, acc
+
+    accT, P_all = jax.lax.scan(body, acc0, (gathered, sgn))
+    # P_all: tuple of (R, 16, F); accT: lane totals (16, F)
+
+    # exclusive prefix over lanes within each window
+    T = tuple(c.reshape(NLIMBS, windows, L) for c in accT)
+    Lx = _excl_prefix(mctx, T, L)  # (16, W, L)
+
+    # bucket boundary positions: r_d = (# keys <= d) - 1 for d = 0..dmax
+    qs = jnp.arange(dmax + 1, dtype=U32)
+    cnt = _bisect_right(keys_s, qs, n)  # (W, 2^15+1)
+    r = cnt - 1
+    valid = r >= 0
+    rc = jnp.maximum(r, 0)
+    lq = rc // R
+    tq = rc % R
+
+    warr = jnp.arange(windows, dtype=jnp.int32)[:, None]
+    colq = warr * L + lq  # (W, q)
+    Pg = tuple(jnp.moveaxis(c[tq, :, colq], -1, 0) for c in P_all)  # (16, W, q)
+    Lxg = tuple(c[:, warr, lq] for c in Lx)  # (16, W, q)
+    Q = _padd_shaped(mctx, Lxg, Pg)
+    ident = _identity_rows(mctx, Q[0].shape[1:])
+    Q = tuple(jnp.where(valid[None], q, i) for q, i in zip(Q, ident))
+
+    Qsum = _tree_sum(mctx, tuple(c[..., :dmax] for c in Q), dmax)  # (16, W, 1)
+    Qtop = tuple(c[..., dmax:] for c in Q)  # (16, W, 1) = window totals
+    return tuple(jnp.concatenate([s, t], axis=-1) for s, t in zip(Qsum, Qtop))
+
+
+# ---------------- host orchestration ---------------- #
+
+
+@lru_cache(maxsize=8)
+def _srs_pack(cfg_name: str, n: int):
+    """Packed Montgomery affine SRS rows (16, n): x_limb | (y_limb << 16)."""
+    from ..srs import load_srs
+
+    pp = load_srs(cfg_name, n)
+    cfg = _cfg(cfg_name)
+    fctx = ff.ctx_for(cfg.p)
+    x = ff.to_mont_jit(fctx, jnp.asarray(pp.gs_x[:n], U32))
+    y = ff.to_mont_jit(fctx, jnp.asarray(pp.gs_y[:n], U32))
+    return jax.device_put(jnp.transpose(x | (y << 16)))
+
+
+def _cfg(name: str) -> CurveCfg:
+    from ..curves import PALLAS, VESTA
+
+    return PALLAS if name == "pallas" else VESTA
+
+
+def pack_points(cfg: CurveCfg, points: list[Affine]) -> tuple:
+    """Host affine ints -> (packed rows (16, n), inf mask (n,))."""
+    fctx = ff.ctx_for(cfg.p)
+    # infinity -> generator placeholder (digit forced to 0 so it never counts)
+    gx, gy = cfg.p - 1, 2  # (-1, 2) is on both Pasta curves (y^2 = x^3 + 5)
+    xs = ff.ints_to_array([gx if pt is None else pt[0] for pt in points])
+    ys = ff.ints_to_array([gy if pt is None else pt[1] for pt in points])
+    x = ff.to_mont_jit(fctx, jnp.asarray(xs, U32))
+    y = ff.to_mont_jit(fctx, jnp.asarray(ys, U32))
+    inf = np.array([pt is None for pt in points])
+    return jnp.transpose(x | (y << 16)), inf
+
+
+def _scalars_rows(cfg: CurveCfg, scalars: list[int], inf_mask=None) -> jnp.ndarray:
+    ks = [s % cfg.r for s in scalars]
+    if inf_mask is not None:
+        ks = [0 if m else k for k, m in zip(ks, inf_mask)]
+    return jnp.transpose(jnp.asarray(ff.ints_to_array(ks), U32))
+
+
+def _combine_host(cfg: CurveCfg, S_rows, c_bits: int) -> Affine:
+    """Pull the (16, W, 2) [sum Q_d, Q_top] points, finish in exact host EC:
+    W_w = dmax * Q_top - sum Q_d;  total = sum_w 2^(c*w) * W_w."""
+    windows, _ = _cfg_for_c(c_bits)
+    p_mod = cfg.p
+    arrs = [np.asarray(c) for c in S_rows]  # (16, W, 2) x 3
+
+    def to_pt(w, j):
+        limbs = [int(ff.limbs_to_int(arrs[k][:, w, j])) for k in range(3)]
+        x, y, z = [v % p_mod for v in limbs]
+        if z == 0:
+            return None
+        zi = pow(z, -1, p_mod)
+        return (x * zi % p_mod, y * zi % p_mod)  # Montgomery factors cancel
+
+    total = None
+    for w in reversed(range(windows)):
+        qsum, qtop = to_pt(w, 0), to_pt(w, 1)
+        neg = None if qsum is None else (qsum[0], (p_mod - qsum[1]) % p_mod)
+        Ww = _py_add(p_mod, _py_dbl_n(p_mod, qtop, c_bits - 1), neg)
+        total = _py_dbl_n(p_mod, total, c_bits)
+        total = _py_add(p_mod, total, Ww)
+    return total
+
+
+def msm2_srs(cfg: CurveCfg, scalars: list[int], c_bits: int = C_BITS) -> Affine:
+    """MSM against the first len(scalars) SRS generators (device v2 path)."""
+    n_req = len(scalars)
+    n = max(4096, 1 << (n_req - 1).bit_length())
+    mctx = pk.mont_ctx(cfg.p, cfg.b)
+    xy = _srs_pack(cfg.name, n)
+    ks = scalars + [0] * (n - n_req)
+    K = _scalars_rows(cfg, ks)
+    lanes = _choose_lanes(n)
+    S = _msm2_device(mctx, n, lanes, c_bits, xy, K)
+    return _combine_host(cfg, S, c_bits)
+
+
+def msm2(cfg: CurveCfg, scalars: list[int], points: list[Affine],
+         c_bits: int = C_BITS, min_n: int = 4096) -> Affine:
+    """General MSM over explicit points (device v2 path)."""
+    n_req = len(scalars)
+    if n_req == 0:
+        return None
+    n = max(min_n, 1 << (n_req - 1).bit_length())
+    mctx = pk.mont_ctx(cfg.p, cfg.b)
+    pts = list(points[:n_req]) + [None] * (n - n_req)
+    xy, inf = pack_points(cfg, pts)
+    ks = list(scalars) + [0] * (n - n_req)
+    K = _scalars_rows(cfg, ks, inf)
+    lanes = _choose_lanes(n)
+    S = _msm2_device(mctx, n, lanes, c_bits, jax.device_put(xy), K)
+    return _combine_host(cfg, S, c_bits)

@@ -1,0 +1,514 @@
+"""Pallas TPU kernel library v2: lazy-domain Montgomery field/EC kernels.
+
+Second-generation device kernels for the MSM/IPA hot path (the TPU-native
+replacement for the arkworks field/EC kernels behind the reference's
+crates/group/src/group.rs:40-66).  Design notes, from on-chip
+microbenchmarks of the v1 kernels (ops/pallas_ff.py / ops/pallas_ec.py):
+
+  * layout      (16, N) uint32 -- 16-bit little-endian limbs on the sublane
+                axis, batch on the 128-wide lane axis.  No boundary
+                transposes: msm2.py keeps data in this layout end-to-end.
+  * lazy domain kernel values live in a "quasi-2p" domain [0, 2p + 2^131):
+                REDC output < ab/R + p stays inside it for inputs inside it
+                (p ~ 2^254 + 2^125, R = 2^256; strict [0,2p) is marginally
+                NOT closed because 4p > R for Pasta).  Field add/sub do one
+                conditional subtract of 2p.  Values are canonicalized once
+                at the very end (`canon_rows`), never per-op.
+  * carries     Kogge-Stone parallel-prefix across the limb sublanes
+                (whole-tile ops) instead of 16-step serial chains: ~25
+                Mosaic ops per propagation vs ~51 serialized (1, B) ops.
+                Fewer ops keeps Mosaic compile times manageable for the
+                fused EC kernels (v1's unrolled chains took ~290 s per
+                kernel compile).
+  * products   256 uint32 limb products on the VPU, split lo/hi-16 and
+                column-summed by one-hot f32 contractions on the MXU
+                (exact: entries < 2^16, <= 32 terms per column -> < 2^21).
+  * REDC trick  the low-half carries of separated REDC collapse: one
+                propagation of (T_lo + U_lo) columns delivers
+                carry_t + carry_u + cross-carry in a single pass
+                (T + U = 0 mod R).
+
+Kernels: mm (Montgomery product), padd (complete projective add, RCB 2015
+algorithm 7 for a=0), pmadd (complete mixed add, Z2=1 specialisation,
+13 muls), pdbl (complete doubling, RCB algorithm 9).  Completeness: no
+divergence; any lane may hold the identity (0:1:0), equal or opposite
+points.  Mixed add requires the affine operand to be a genuine curve point
+(never infinity) -- msm2.py guarantees that by construction.
+
+Differential tests: tests/test_pallas_mont.py (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ff import MASK, NLIMBS, U32, int_to_limbs
+
+BLK = 512  # lane-axis batch per grid step
+
+
+def available() -> bool:
+    return True
+
+
+# ---------------- static one-hot contraction matrices ---------------- #
+
+
+def _conv_matrices_rows():
+    """(33, 512) / (16, 512) one-hot matrices (contraction on the right).
+
+    Row layout of the flattened lo/hi product tensor: index h*256 + i*16 + j
+    (h=0: low 16 bits -> column i+j; h=1: high 16 bits -> column i+j+1).
+    """
+    full = np.zeros((2 * NLIMBS + 1, 512), np.float32)
+    low = np.zeros((NLIMBS, 512), np.float32)
+    for h in range(2):
+        for i in range(NLIMBS):
+            for j in range(NLIMBS):
+                k = i + j + h
+                full[k, h * 256 + i * 16 + j] = 1.0
+                if k < NLIMBS:
+                    low[k, h * 256 + i * 16 + j] = 1.0
+    return full, low
+
+
+_CF, _CL = _conv_matrices_rows()
+
+
+# ---------------- in-kernel primitives on (rows, B) tiles ---------------- #
+
+
+def _shift_down(x, k):
+    """Rows shifted down by k (row i reads old row i-k; top k rows zero)."""
+    if k == 0:
+        return x
+    return jnp.concatenate([jnp.zeros((k, x.shape[1]), x.dtype), x[:-k]])
+
+
+def _ks(cols, n_out):
+    """Kogge-Stone carry resolution: redundant base-2^16 columns -> canonical
+    16-bit limbs of value(cols) mod 2^(16*n_out).
+
+    cols: (k, B) uint32 with entries < 2^22 (so the per-column carry fits
+    6 bits).  Two phases: one carry-save compression, then a boolean
+    carry-lookahead prefix.
+    """
+    k, B = cols.shape
+    if k < n_out:
+        cols = jnp.concatenate([cols, jnp.zeros((n_out - k, B), U32)])
+    elif k > n_out:
+        cols = cols[:n_out]
+    s = cols & MASK
+    g = cols >> 16  # < 2^6
+    d = s + _shift_down(g, 1)  # <= 2^16 + 62
+    s2 = d & MASK
+    g2 = d >> 16  # in {0, 1}
+    p2 = (s2 == MASK).astype(U32)
+    gk, pk = g2, p2
+    sh = 1
+    while sh < n_out:
+        gk = gk | (pk & _shift_down(gk, sh))
+        pk = pk & _shift_down(pk, sh)
+        sh *= 2
+    return (s2 + _shift_down(gk, 1)) & MASK
+
+
+def _sub_const(s, c_rows):
+    """s - c via complement addition.  s: (k, B) canonical limbs; c_rows:
+    (kc <= k, B) constant limbs.  Returns (diff (16, B), ge (1, B) bool):
+    ge is the carry out of s + (~c) + 1, i.e. s >= c; diff is only valid
+    (and only used) when the true difference fits 16 limbs."""
+    k, B = s.shape
+    kc = c_rows.shape[0]
+    comp = jnp.asarray(MASK, U32) - c_rows  # (kc, B)
+    if kc < k:
+        comp = jnp.concatenate([comp, jnp.full((k - kc, B), MASK, U32)])
+    one = jnp.concatenate([jnp.ones((1, B), U32), jnp.zeros((k - 1, B), U32)])
+    res = _ks(s + comp + one, k + 1)
+    ge = res[k][None] != 0  # carry out of the complement addition
+    return res[:NLIMBS], ge
+
+
+def _sub_const_if_ge(s, c_rows):
+    """Subtract the constant c from s when s >= c; returns (16, B)."""
+    d, ge = _sub_const(s, c_rows)
+    return jnp.where(ge, d, s[:NLIMBS])
+
+
+def _fadd(a, b, p2c):
+    """(a + b) with one conditional subtract of 2p.  Inputs quasi-2p."""
+    B = a.shape[1]
+    cols = a + b  # <= 2^17 - 2 per limb
+    s17 = _ks(cols, NLIMBS + 1)
+    return _sub_const_if_ge(s17, p2c)
+
+
+def _fsub(a, b, p4c, p2c):
+    """(a - b + 4p) reduced below ~2p.  Inputs quasi-2p (possibly a bit
+    above 2p, hence the 4p offset keeps the difference positive; the raw
+    difference can reach ~6p > 2^256, so BOTH -2p and -4p candidates are
+    formed and the smallest non-negative one selected -- output < 2p + eps,
+    16 limbs)."""
+    B = a.shape[1]
+    comp = jnp.asarray(MASK, U32) - b  # 16-limb complement of b
+    zrow = jnp.zeros((1, B), U32)
+    cols = jnp.concatenate([a, zrow]) + p4c + jnp.concatenate([comp, zrow])
+    one = jnp.concatenate([jnp.ones((1, B), U32), jnp.zeros((NLIMBS, B), U32)])
+    s18 = _ks(cols + one, NLIMBS + 2)  # 18 limbs incl. the 2^256 offset
+    s17 = jnp.concatenate([s18[:NLIMBS], (s18[NLIMBS] - 1)[None]])  # drop offset
+    # two parallel conditional subtractions: pick s-4p if >=4p else s-2p if >=2p
+    d2, ge2 = _sub_const(s17, p2c)
+    d4, ge4 = _sub_const(s17, p4c)
+    out = jnp.where(ge4, d4, jnp.where(ge2, d2, s17[:NLIMBS]))
+    return out
+
+
+def _mm(a, b, pc, npr, cf, cl):
+    """Montgomery product a*b*R^{-1} on (16, B) tiles, quasi-2p domain.
+
+    Separated-operand REDC (same algorithm as ops/ff.py:mont_mul) without
+    the final conditional subtraction."""
+    B = a.shape[1]
+
+    def conv(x, y, mat, rows_out):
+        rep_x = jnp.repeat(x, NLIMBS, axis=0)  # (256, B): row i*16+j = x_i
+        rep_y = jnp.concatenate([y] * NLIMBS, axis=0)  # row i*16+j = y_j
+        prod = rep_x * rep_y  # exact uint32
+        flat = jnp.concatenate([prod & MASK, prod >> 16]).astype(jnp.int32).astype(jnp.float32)
+        out = jax.lax.dot_general(
+            mat, flat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out[:rows_out].astype(jnp.int32).astype(U32)
+
+    T = conv(a, b, cf, 2 * NLIMBS + 1)  # (33, B) columns < 2^21
+    t_low = _ks(T[:NLIMBS], NLIMBS)  # T mod R (canonical limbs)
+    m = _ks(conv(t_low, npr, cl, NLIMBS), NLIMBS)  # (T mod R)(-p^-1) mod R
+    Uc = conv(m, pc, cf, 2 * NLIMBS + 1)  # m*p columns
+    # Combined low-half carry: carry_t + carry_u + cross in one pass.
+    lo_sum = T[:NLIMBS] + Uc[:NLIMBS]  # columns < 2^22
+    carry = _ks(lo_sum, NLIMBS + 1)[NLIMBS]  # value(lo_sum) >> 256 (< 2^8)
+    high = T[NLIMBS:] + Uc[NLIMBS:]  # (17, B) columns < 2^22
+    high = jnp.concatenate([(high[0] + carry)[None], high[1:]])
+    return _ks(high, NLIMBS)  # (T + U)/R < 2p + eps < 2^256
+
+
+# ---------------- kernels ---------------- #
+
+
+def _mm_kernel(a_ref, b_ref, p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref, o_ref):
+    B = a_ref.shape[1]
+    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
+    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
+    o_ref[:] = _mm(a_ref[:], b_ref[:], pc, npr, cf_ref[:], cl_ref[:])
+
+
+def _padd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r, z2_r,
+                 p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                 x3_r, y3_r, z3_r):
+    """Complete projective add, a=0 (RCB alg. 7) in the quasi-2p domain.
+    Mirrors ops/ec.py:add (reference semantics: arkworks Projective +)."""
+    B = x1_r.shape[1]
+    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
+    p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
+    p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
+    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
+    b3 = jnp.broadcast_to(b3_ref[:], (NLIMBS, B))
+    cf = cf_ref[:]
+    cl = cl_ref[:]
+
+    def mm(a, b):
+        return _mm(a, b, pc, npr, cf, cl)
+
+    def fadd(a, b):
+        return _fadd(a, b, p2c)
+
+    def fsub(a, b):
+        return _fsub(a, b, p4c, p2c)
+
+    X1, Y1, Z1 = x1_r[:], y1_r[:], z1_r[:]
+    X2, Y2, Z2 = x2_r[:], y2_r[:], z2_r[:]
+
+    t0 = mm(X1, X2)
+    t1 = mm(Y1, Y2)
+    t2 = mm(Z1, Z2)
+    t3 = fsub(mm(fadd(X1, Y1), fadd(X2, Y2)), fadd(t0, t1))
+    t4 = fsub(mm(fadd(Y1, Z1), fadd(Y2, Z2)), fadd(t1, t2))
+    Y3 = fsub(mm(fadd(X1, Z1), fadd(X2, Z2)), fadd(t0, t2))
+    t0 = fadd(fadd(t0, t0), t0)
+    t2 = mm(b3, t2)
+    Z3 = fadd(t1, t2)
+    t1 = fsub(t1, t2)
+    Y3 = mm(b3, Y3)
+    X3 = fsub(mm(t3, t1), mm(t4, Y3))
+    Y3n = fadd(mm(t1, Z3), mm(Y3, t0))
+    Z3n = fadd(mm(Z3, t4), mm(t0, t3))
+
+    x3_r[:] = X3
+    y3_r[:] = Y3n
+    z3_r[:] = Z3n
+
+
+def _pmadd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r,
+                  p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                  x3_r, y3_r, z3_r):
+    """Complete mixed add (Z2 = 1), 13 muls: alg. 7 with the Z2=1
+    simplifications t2 = Z1, t4 = Y1 + Z1*y2, Y3tmp = X1 + Z1*x2.
+    The affine operand must be a genuine curve point (not infinity)."""
+    B = x1_r.shape[1]
+    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
+    p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
+    p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
+    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
+    b3 = jnp.broadcast_to(b3_ref[:], (NLIMBS, B))
+    cf = cf_ref[:]
+    cl = cl_ref[:]
+
+    def mm(a, b):
+        return _mm(a, b, pc, npr, cf, cl)
+
+    def fadd(a, b):
+        return _fadd(a, b, p2c)
+
+    def fsub(a, b):
+        return _fsub(a, b, p4c, p2c)
+
+    X1, Y1, Z1 = x1_r[:], y1_r[:], z1_r[:]
+    x2, y2 = x2_r[:], y2_r[:]
+
+    t0 = mm(X1, x2)
+    t1 = mm(Y1, y2)
+    t3 = fsub(mm(fadd(X1, Y1), fadd(x2, y2)), fadd(t0, t1))
+    t4 = fadd(Y1, mm(Z1, y2))
+    t5 = fadd(X1, mm(Z1, x2))  # alg-7 "Y3" pre-b3
+    t0 = fadd(fadd(t0, t0), t0)
+    t2 = mm(b3, Z1)
+    Z3 = fadd(t1, t2)
+    t1 = fsub(t1, t2)
+    t5 = mm(b3, t5)
+    X3 = fsub(mm(t3, t1), mm(t4, t5))
+    Y3 = fadd(mm(t1, Z3), mm(t5, t0))
+    Z3n = fadd(mm(Z3, t4), mm(t0, t3))
+
+    x3_r[:] = X3
+    y3_r[:] = Y3
+    z3_r[:] = Z3n
+
+
+def _pmadd_pack_kernel(x1_r, y1_r, z1_r, pack_r, sign_r,
+                       p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                       x3_r, y3_r, z3_r):
+    """Mixed add with a packed affine operand: pack rows hold
+    x_limb | (y_limb << 16) (canonical Montgomery limbs), sign (1, B)
+    nonzero means add the NEGATED point (y -> p - y).  This is the MSM
+    bucket-scan body (one sorted point folded into the running prefix)."""
+    B = x1_r.shape[1]
+    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
+    p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
+    p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
+    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
+    b3 = jnp.broadcast_to(b3_ref[:], (NLIMBS, B))
+    cf = cf_ref[:]
+    cl = cl_ref[:]
+
+    pack = pack_r[:]
+    x2 = pack & MASK
+    y0 = pack >> 16
+    # p - y0 via complement add (y0 in (0, p): prime-order curve, no y=0)
+    one = jnp.concatenate([jnp.ones((1, B), U32), jnp.zeros((NLIMBS - 1, B), U32)])
+    py = _ks(pc + (jnp.asarray(MASK, U32) - y0) + one, NLIMBS)
+    y2 = jnp.where(sign_r[:] != 0, py, y0)
+
+    def mm(a, b):
+        return _mm(a, b, pc, npr, cf, cl)
+
+    def fadd(a, b):
+        return _fadd(a, b, p2c)
+
+    def fsub(a, b):
+        return _fsub(a, b, p4c, p2c)
+
+    X1, Y1, Z1 = x1_r[:], y1_r[:], z1_r[:]
+
+    t0 = mm(X1, x2)
+    t1 = mm(Y1, y2)
+    t3 = fsub(mm(fadd(X1, Y1), fadd(x2, y2)), fadd(t0, t1))
+    t4 = fadd(Y1, mm(Z1, y2))
+    t5 = fadd(X1, mm(Z1, x2))
+    t0 = fadd(fadd(t0, t0), t0)
+    t2 = mm(b3, Z1)
+    Z3 = fadd(t1, t2)
+    t1 = fsub(t1, t2)
+    t5 = mm(b3, t5)
+    X3 = fsub(mm(t3, t1), mm(t4, t5))
+    Y3 = fadd(mm(t1, Z3), mm(t5, t0))
+    Z3n = fadd(mm(Z3, t4), mm(t0, t3))
+
+    x3_r[:] = X3
+    y3_r[:] = Y3
+    z3_r[:] = Z3n
+
+
+def _pdbl_kernel(x_r, y_r, z_r,
+                 p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                 x3_r, y3_r, z3_r):
+    """Complete doubling, a=0 (RCB alg. 9); mirrors ops/ec.py:double."""
+    B = x_r.shape[1]
+    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
+    p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
+    p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
+    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
+    b3 = jnp.broadcast_to(b3_ref[:], (NLIMBS, B))
+    cf = cf_ref[:]
+    cl = cl_ref[:]
+
+    def mm(a, b):
+        return _mm(a, b, pc, npr, cf, cl)
+
+    def fadd(a, b):
+        return _fadd(a, b, p2c)
+
+    def fsub(a, b):
+        return _fsub(a, b, p4c, p2c)
+
+    X, Y, Z = x_r[:], y_r[:], z_r[:]
+
+    t0 = mm(Y, Y)
+    Z3 = fadd(t0, t0)
+    Z3 = fadd(Z3, Z3)
+    Z3 = fadd(Z3, Z3)
+    t1 = mm(Y, Z)
+    t2 = mm(Z, Z)
+    t2 = mm(b3, t2)
+    X3 = mm(t2, Z3)
+    Y3 = fadd(t0, t2)
+    Z3 = mm(t1, Z3)
+    t1 = fadd(t2, t2)
+    t2 = fadd(t1, t2)
+    t0 = fsub(t0, t2)
+    Y3 = mm(t0, Y3)
+    Y3 = fadd(X3, Y3)
+    t1 = mm(X, Y)
+    X3 = mm(t0, t1)
+    X3 = fadd(X3, X3)
+
+    x3_r[:] = X3
+    y3_r[:] = Y3
+    z3_r[:] = Z3
+
+
+_KERNELS = {
+    # kind -> (kernel, input row counts, output count)
+    "mm": (_mm_kernel, (NLIMBS, NLIMBS), 1),
+    "padd": (_padd_kernel, (NLIMBS,) * 6, 3),
+    "pmadd": (_pmadd_kernel, (NLIMBS,) * 5, 3),
+    "pmadd_pack": (_pmadd_pack_kernel, (NLIMBS, NLIMBS, NLIMBS, NLIMBS, 1), 3),
+    "pdbl": (_pdbl_kernel, (NLIMBS,) * 3, 3),
+}
+
+
+# ---------------- host-facing wrappers ---------------- #
+
+
+class MontCtx:
+    """Per-curve constants for the v2 kernels (hashable static arg)."""
+
+    def __init__(self, p: int, b: int):
+        self.p = p
+        self.b = b
+        self.p_rows = np.ascontiguousarray(int_to_limbs(p)[:, None].astype(np.uint32))
+        self.p2_rows = np.ascontiguousarray(int_to_limbs(2 * p)[:, None].astype(np.uint32))
+        p4 = np.frombuffer(int(4 * p).to_bytes(34, "little"), dtype="<u2").astype(np.uint32)
+        self.p4_rows = np.ascontiguousarray(p4[:17, None])
+        self.npr_rows = np.ascontiguousarray(
+            int_to_limbs(pow(p, -1, 1 << 256) * -1 % (1 << 256))[:, None].astype(np.uint32))
+        self.b3_rows = np.ascontiguousarray(
+            int_to_limbs(3 * b * (1 << 256) % p)[:, None].astype(np.uint32))
+
+    def __hash__(self):
+        return hash((self.p, self.b))
+
+    def __eq__(self, other):
+        return isinstance(other, MontCtx) and (self.p, self.b) == (other.p, other.b)
+
+
+@lru_cache(maxsize=8)
+def mont_ctx(p: int, b: int) -> MontCtx:
+    return MontCtx(p, b)
+
+
+def _is_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@lru_cache(maxsize=64)
+def _build_call(ctx: MontCtx, kind: str, n: int, interpret: bool):
+    kernel, in_rows, n_out = _KERNELS[kind]
+    grid = n // BLK
+
+    def blk(rows=NLIMBS):
+        return pl.BlockSpec((rows, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def whole(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[blk(r) for r in in_rows]
+        + [whole((NLIMBS, 1)), whole((NLIMBS, 1)), whole((NLIMBS + 1, 1)),
+           whole((NLIMBS, 1)), whole((NLIMBS, 1))]
+        + [whole(_CF.shape), whole(_CL.shape)],
+        out_specs=[blk() for _ in range(n_out)] if n_out > 1 else blk(),
+        out_shape=[jax.ShapeDtypeStruct((NLIMBS, n), U32) for _ in range(n_out)]
+        if n_out > 1 else jax.ShapeDtypeStruct((NLIMBS, n), U32),
+        interpret=interpret,
+    )
+    consts = (ctx.p_rows, ctx.p2_rows, ctx.p4_rows, ctx.npr_rows, ctx.b3_rows,
+              np.ascontiguousarray(_CF), np.ascontiguousarray(_CL))
+
+    def fn(*data):
+        return call(*data, *consts)
+
+    return fn
+
+
+def _run(ctx: MontCtx, kind: str, arrays) -> tuple:
+    """arrays: tuple of (16, N) uint32; N padded to BLK multiple by caller."""
+    n = arrays[0].shape[1]
+    assert n % BLK == 0, n
+    return _build_call(ctx, kind, n, _is_cpu())(*arrays)
+
+
+def mm_rows(ctx: MontCtx, a, b):
+    """Batched Montgomery product on (16, N) arrays (quasi-2p domain)."""
+    return _run(ctx, "mm", (a, b))
+
+
+def padd_rows(ctx: MontCtx, P, Q):
+    """Complete projective add; P, Q tuples of 3 (16, N) arrays."""
+    return tuple(_run(ctx, "padd", (*P, *Q)))
+
+
+def pmadd_rows(ctx: MontCtx, P, A):
+    """Complete mixed add; P = (X, Y, Z), A = (x, y) affine, never infinity."""
+    return tuple(_run(ctx, "pmadd", (*P, *A)))
+
+
+def pdbl_rows(ctx: MontCtx, P):
+    """Complete doubling of P = (X, Y, Z)."""
+    return tuple(_run(ctx, "pdbl", tuple(P)))
+
+
+def pmadd_pack_rows(ctx: MontCtx, P, pack, sign):
+    """Mixed add with packed affine operand; P = (X, Y, Z) (16, N) arrays,
+    pack (16, N) = x | (y << 16), sign (1, N) nonzero -> add -point."""
+    return tuple(_run(ctx, "pmadd_pack", (*P, pack, sign)))

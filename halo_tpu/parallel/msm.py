@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from jax import shard_map
 
@@ -54,7 +55,11 @@ def sharded_msm_fn(ctx: ECCtx, mesh: Mesh, lanes: int, naive: bool = False):
     def local_step(X, Y, Z, K):
         P = (X, Y, Z)
         if naive:
-            local = msm_ops.msm_naive(ctx, P, K)
+            # scalar_mul + scan_sum: 3 EC-graph instantiations total (vs ~8
+            # for tree_reduce), which keeps the CPU-mesh dryrun compile of
+            # the combined shard_map program in tens of seconds
+            prods = ec.scalar_mul(ctx, P, K)
+            local = msm_ops.scan_sum(ctx, prods)
         else:
             local = msm_ops._pippenger_impl(ctx, P, K, lanes)
         total = _ring_reduce_point(ctx, local, "data")
@@ -73,14 +78,18 @@ def sharded_msm_fn(ctx: ECCtx, mesh: Mesh, lanes: int, naive: bool = False):
     return _FN_CACHE[key]
 
 
-def msm_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Affine]) -> Affine:
-    """Host-facing sharded MSM (pads to a multiple of the mesh size)."""
+def msm_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Affine],
+                min_per: int = 128) -> Affine:
+    """Host-facing sharded MSM (pads to a multiple of the mesh size).
+
+    min_per: minimum points per device (the dryrun passes 8 to keep the
+    CPU-mesh compile small; production keeps the default)."""
     ctx = ec.ec_ctx(cfg)
     n = len(scalars)
     d = mesh.devices.size
     lanes = 128
     per = -(-n // d)
-    per = max(lanes, 1 << (per - 1).bit_length())
+    per = max(min_per, 1 << max(0, per - 1).bit_length())
     total_n = per * d
     ks = [s % cfg.r for s in scalars] + [0] * (total_n - n)
     pts = list(points[:n]) + [None] * (total_n - n)
@@ -94,3 +103,57 @@ def msm_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Affi
     K = shard_leading(mesh, K)
     out = fn(X, Y, Z, K)
     return ec.to_affine_ints(ctx, tuple(c[None] for c in out))[0]
+
+
+def msm_sharded_pair(cfg: CurveCfg, mesh: Mesh, jobs: list, min_per: int = 8) -> list:
+    """Pipeline-parallel pair of MSMs as ONE SPMD program over a
+    ("curve", "data") mesh (the reference's independent per-curve proofs,
+    ivc/mod.rs:648-649, as a mesh axis instead of threads).
+
+    jobs: [(scalars, points), (scalars, points)] — both over `cfg`.  The 1-D
+    mesh is folded to (2, d//2); each curve row reduces only over its own
+    "data" sub-axis, so the two MSMs run concurrently on disjoint devices
+    with a single compiled executable (the thread-based different-curve
+    variant lives in parallel/pipeline.run_disjoint).
+    """
+    assert len(jobs) == 2
+    ctx = ec.ec_ctx(cfg)
+    devs = list(mesh.devices.flat)
+    d2 = max(1, len(devs) // 2)
+    mesh2 = Mesh(np.array(devs[: 2 * d2]).reshape(2, d2), ("curve", "data"))
+
+    per = max(min_per, *(-(-len(ks) // d2) for ks, _ in jobs))
+    per = 1 << max(0, per - 1).bit_length()
+    n_tot = per * d2
+
+    Ks, Ps = [], []
+    for ks, pts in jobs:
+        ks = [s % cfg.r for s in ks] + [0] * (n_tot - len(ks))
+        pts = list(pts) + [None] * (n_tot - len(pts))
+        Ks.append(ff.ints_to_array(ks))
+        Ps.append(ec.from_affine_ints(ctx, pts))
+    K = jnp.stack([jnp.asarray(k) for k in Ks])  # (2, n, 16)
+    P = tuple(jnp.stack([Ps[0][c], Ps[1][c]]) for c in range(3))
+
+    def local_step(X, Y, Z, K):
+        Pl = tuple(c[0] for c in (X, Y, Z))
+        prods = ec.scalar_mul(ctx, Pl, K[0])
+        local = msm_ops.scan_sum(ctx, prods)
+        total = _ring_reduce_point(ctx, local, "data")
+        return tuple(c[None] for c in total)
+
+    spec_in = PartitionSpec("curve", "data")
+    spec_out = PartitionSpec("curve")
+    fn = jax.jit(shard_map(
+        local_step, mesh=mesh2,
+        in_specs=(spec_in, spec_in, spec_in, spec_in),
+        out_specs=(spec_out, spec_out, spec_out),
+        check_vma=False,
+    ))
+    sh = NamedSharding(mesh2, spec_in)
+    args = [jax.device_put(c, sh) for c in (*P, K)]
+    out = fn(*args)
+    outs = []
+    for j in range(2):
+        outs.append(ec.to_affine_ints(ctx, tuple(c[j][None] for c in out))[0])
+    return outs
