@@ -69,26 +69,27 @@ def _rand_scalars(rng, n, r):
     return K
 
 
-def bench_msm(n: int, headline: bool = False):
+def bench_msm(n: int, headline: bool = False, verify: bool = True):
+    """v2 Pippenger (ops/msm2.py) with device-resident scalars (as the
+    prover holds them); timed: the full device pipeline + the exact host
+    window combine + D2H of the 16 tiny window points."""
     from halo_tpu import native
     from halo_tpu.curves import PALLAS
-    from halo_tpu.ops import ec
-    from halo_tpu.ops import msm as msm_ops
+    from halo_tpu.ops import msm2
+    from halo_tpu.ops import pallas_mont as pk
     from halo_tpu.srs import load_srs
 
-    pp = load_srs("pallas", n)
-    ctx = ec.ec_ctx(PALLAS)
-    P = ec.from_limbs_canonical(ctx, pp.gs_x[:n], pp.gs_y[:n])
-    P = jax.device_put(P)
+    mctx = pk.mont_ctx(PALLAS.p, PALLAS.b)
+    xy = msm2._srs_pack("pallas", n)
+    lanes = msm2._choose_lanes(n)
 
     rng = np.random.default_rng(1234)
-    lanes = msm_ops.default_lanes(n)
-    # fresh scalar sets: one per timed iteration + one warmup
-    Ks = [jax.device_put(jnp.asarray(_rand_scalars(rng, n, PALLAS.r))) for _ in range(ITERS + 1)]
+    # fresh scalar sets (device-resident limb rows): warmup + per iteration
+    Ks = [jax.device_put(jnp.asarray(_rand_scalars(rng, n, PALLAS.r).T.copy()))
+          for _ in range(ITERS + 1)]
 
     t0 = time.time()
-    out = msm_ops.pippenger_jit(ctx, P, Ks[0], lanes)
-    host_out = jax.device_get(out)
+    out = msm2._combine_host(PALLAS, msm2._msm2_device(mctx, n, lanes, 16, xy, Ks[0]), 16)
     compile_s = time.time() - t0
 
     prof_dir = os.environ.get("HALO_BENCH_PROFILE") if headline else None
@@ -97,20 +98,20 @@ def bench_msm(n: int, headline: bool = False):
     times = []
     for i in range(1, ITERS + 1):
         t0 = time.time()
-        out = msm_ops.pippenger_jit(ctx, P, Ks[i], lanes)
-        host_out = jax.device_get(out)  # forces execution + D2H of one point
+        out = msm2._combine_host(PALLAS, msm2._msm2_device(mctx, n, lanes, 16, xy, Ks[i]), 16)
         times.append(time.time() - t0)
     if prof_dir:
         jax.profiler.stop_trace()
     best = min(times)
 
-    # verify the last iteration against the native C++ host Pippenger
-    got = ec.to_affine_ints(ctx, tuple(np.asarray(c)[None] for c in host_out))[0]
-    K = np.asarray(Ks[ITERS]).astype(np.uint64)
-    words = K[:, 0::4] | (K[:, 1::4] << 16) | (K[:, 2::4] << 32) | (K[:, 3::4] << 48)
-    ks_int = [int(w[0]) | int(w[1]) << 64 | int(w[2]) << 128 | int(w[3]) << 192 for w in words]
-    want = native.msm(PALLAS, ks_int, pp.gs_ints(n))
-    verified = got == want
+    verified = None
+    if verify:  # last iteration vs the native C++ host Pippenger
+        pp = load_srs("pallas", n)
+        K = np.asarray(Ks[ITERS]).T.astype(np.uint64)
+        words = K[:, 0::4] | (K[:, 1::4] << 16) | (K[:, 2::4] << 32) | (K[:, 3::4] << 48)
+        ks_int = [int(w[0]) | int(w[1]) << 64 | int(w[2]) << 128 | int(w[3]) << 192 for w in words]
+        want = native.msm(PALLAS, ks_int, pp.gs_ints(n))
+        verified = out == want
 
     pps = n / best
     lg = n.bit_length() - 1
@@ -255,8 +256,11 @@ def bench_plonk_prove(log_n: int):
     )
 
 
+DEFAULT_METRICS = "msm16,msm20,msm12,msm18,ntt22,ntt18,pcdl12,pcdl10,plonk12"
+
+
 def main() -> None:
-    which = os.environ.get("HALO_BENCH_METRICS", "msm20,msm16,ntt22,pcdl12,plonk12").split(",")
+    which = os.environ.get("HALO_BENCH_METRICS", DEFAULT_METRICS).split(",")
     n_headline = int(os.environ.get("HALO_BENCH_N", 1 << 20))
     print(f"bench: devices={jax.devices()}", file=sys.stderr)
 
@@ -267,12 +271,12 @@ def main() -> None:
         try:
             if name == "msm20":
                 headline = bench_msm(n_headline, headline=True)
-            elif name == "msm16":
-                bench_msm(1 << 16)
-            elif name == "ntt22":
-                bench_ntt(22)
-            elif name == "pcdl12":
-                bench_pcdl_open(12)
+            elif name.startswith("msm"):
+                bench_msm(1 << int(name[3:]))
+            elif name.startswith("ntt"):
+                bench_ntt(int(name[3:]))
+            elif name.startswith("pcdl"):
+                bench_pcdl_open(int(name[4:]))
             elif name == "plonk12":
                 bench_plonk_prove(12)
             else:

@@ -95,6 +95,10 @@ def open_without_eval_device(
     xi_i = transcript.challenge()
     H_prime = ec_mul(cfg, pp.H, xi_i)
 
+    if n == 1:  # lg(n) = 0: no fold rounds; U = G_0, c = p_0 (host version)
+        return pcdl.EvalProof(Ls=[], Rs=[], U=pp.gs_ints(1)[0],
+                              c=(p[0] % m if p else 0), C_bar=None, w_prime=None)
+
     # device state at the fixed half shape P = n/2; `a` = active prefix length
     cs = ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array([c % m for c in p] + [0] * (n - len(p)))))
     zpows = [0] * n

@@ -98,7 +98,7 @@ msm_naive_jit = jax.jit(msm_naive, static_argnums=0)
 # ---------------- Pippenger ---------------- #
 
 
-def _bucket_accumulate(ctx: ECCtx, pts_sorted: Point, keys: jnp.ndarray, lanes: int) -> Point:
+def _bucket_accumulate(ctx: ECCtx, pts_sorted: Point, keys: jnp.ndarray, lanes: int, wide: bool) -> Point:
     """Bucket sums B[d] for sorted (point, key) arrays; returns (2^16+1, 16) arrays."""
     n = keys.shape[0]
     assert n % lanes == 0
@@ -160,7 +160,7 @@ def _bucket_accumulate(ctx: ECCtx, pts_sorted: Point, keys: jnp.ndarray, lanes: 
     seq_keys = interleave(head_piece[1], tail_piece[1])
     seq_close = interleave(head_piece[2], tail_piece[2])
 
-    if _wide_schedule():
+    if wide:
         # Segmented inclusive sum over the 2*lanes piece sequence, log-depth.
         # Pieces of one run are contiguous and share its (globally unique)
         # key, so segment starts are key changes; the run's full sum lands at
@@ -236,7 +236,7 @@ def _tree_reduce_axis0(ctx: ECCtx, P: Point) -> Point:
     return tuple(c[0] for c in P)
 
 
-def _weighted_sum_256(ctx: ECCtx, P: Point) -> Point:
+def _weighted_sum_256(ctx: ECCtx, P: Point, wide: bool) -> Point:
     """sum_a a * P[a] for a 256-point batch (8-bit double-and-add + tree)."""
     digits = jnp.arange(256, dtype=U32)
 
@@ -248,19 +248,19 @@ def _weighted_sum_256(ctx: ECCtx, P: Point) -> Point:
         return acc, base
 
     weighted, _ = jax.lax.fori_loop(0, 8, body, (ec.identity(ctx, (256,)), P))
-    if _wide_schedule():
+    if wide:
         return _tree_reduce_axis0(ctx, weighted)
     return scan_sum(ctx, weighted)
 
 
-def _window_sum(ctx: ECCtx, B: Point) -> Point:
+def _window_sum(ctx: ECCtx, B: Point, wide: bool) -> Point:
     """sum_d d*B[d] over 2^16 buckets, d = hi*256 + lo:
     256 * sum_a a*R_a + sum_b b*C_b with R/C the row/col sums of the
     (256, 256)-reshaped bucket grid, each reduced in 8 log-depth levels."""
     grid = tuple(c[: 1 << 16].reshape(256, 256, NLIMBS) for c in B)
     grid_t = tuple(c.swapaxes(0, 1) for c in grid)
 
-    if _wide_schedule():
+    if wide:
         col_sums = _tree_reduce_axis0(ctx, grid)  # reduce over hi -> C_lo
         row_sums = _tree_reduce_axis0(ctx, grid_t)  # reduce over lo -> R_hi
     else:
@@ -271,8 +271,8 @@ def _window_sum(ctx: ECCtx, B: Point) -> Point:
         col_sums, _ = jax.lax.scan(row_red, ec.identity(ctx, (256,)), grid)
         row_sums, _ = jax.lax.scan(row_red, ec.identity(ctx, (256,)), grid_t)
 
-    w_hi = _weighted_sum_256(ctx, row_sums)
-    w_lo = _weighted_sum_256(ctx, col_sums)
+    w_hi = _weighted_sum_256(ctx, row_sums, wide)
+    w_lo = _weighted_sum_256(ctx, col_sums, wide)
 
     def dbl(_, t):
         return ec.double(ctx, t)
@@ -280,15 +280,18 @@ def _window_sum(ctx: ECCtx, B: Point) -> Point:
     return ec.add(ctx, jax.lax.fori_loop(0, 8, dbl, w_hi), w_lo)
 
 
-def _pippenger_impl(ctx: ECCtx, P: Point, scalars: jnp.ndarray, lanes: int) -> Point:
+def _pippenger_impl(ctx: ECCtx, P: Point, scalars: jnp.ndarray, lanes: int,
+                    wide: bool | None = None) -> Point:
+    if wide is None:  # non-jit convenience; jit callers pass it explicitly
+        wide = _wide_schedule()
     def window_body(i, total):
         w = NLIMBS - 1 - i  # high window first
         digits = scalars[:, w].astype(U32)
         order = jnp.argsort(digits)
         keys = digits[order]
         pts_sorted = tuple(c[order] for c in P)
-        B = _bucket_accumulate(ctx, pts_sorted, keys, lanes)
-        S = _window_sum(ctx, B)
+        B = _bucket_accumulate(ctx, pts_sorted, keys, lanes, wide)
+        S = _window_sum(ctx, B, wide)
 
         def dbl(_, t):
             return ec.double(ctx, t)
@@ -299,7 +302,17 @@ def _pippenger_impl(ctx: ECCtx, P: Point, scalars: jnp.ndarray, lanes: int) -> P
     return jax.lax.fori_loop(0, NLIMBS, window_body, ec.identity(ctx))
 
 
-pippenger_jit = jax.jit(_pippenger_impl, static_argnums=(0, 3))
+pippenger_jit = jax.jit(_pippenger_impl, static_argnums=(0, 3, 4))
+
+
+def _use_v2(n: int) -> bool:
+    """Route to the v2 sort+prefix-scan Pippenger (ops/msm2.py) on
+    accelerator backends; the v1 path remains the CPU/CI implementation
+    (v2's pallas kernels only run interpreted there)."""
+    env = os.environ.get("HALO_TPU_MSM_V2")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu" and n >= 2048
 
 
 def msm(cfg: CurveCfg, scalars: list[int], points: list[Affine]) -> Affine:
@@ -307,6 +320,10 @@ def msm(cfg: CurveCfg, scalars: list[int], points: list[Affine]) -> Affine:
     n = len(scalars)
     if n == 0:
         return None
+    if _use_v2(n):
+        from . import msm2
+
+        return msm2.msm2(cfg, scalars, points)
     ctx = ec.ec_ctx(cfg)
     P = ec.from_affine_ints(ctx, points[:n])
     return _msm_device(ctx, P, scalars)
@@ -317,6 +334,10 @@ def msm_srs(cfg: CurveCfg, scalars: list[int]) -> Affine:
     n = len(scalars)
     if n == 0:
         return None
+    if _use_v2(n):
+        from . import msm2
+
+        return msm2.msm2_srs(cfg, scalars)
     size = max(4, 1 << (n - 1).bit_length())
     ctx = ec.ec_ctx(cfg)
     P = _srs_device(cfg.name, size)
@@ -345,7 +366,7 @@ def _msm_device(ctx: ECCtx, P: Point, scalars: list[int]) -> Affine:
             K = jnp.concatenate([K, jnp.zeros((pad, NLIMBS), U32)])
             idp = ec.identity(ctx, (pad,))
             P = tuple(jnp.concatenate([c, i]) for c, i in zip(P, idp))
-        total = pippenger_jit(ctx, P, K, lanes)
+        total = pippenger_jit(ctx, P, K, lanes, _wide_schedule())
     else:
         total = msm_naive_jit(ctx, P, K)
     return ec.to_affine_ints(ctx, tuple(c[None] for c in total))[0]

@@ -61,7 +61,7 @@ def sharded_msm_fn(ctx: ECCtx, mesh: Mesh, lanes: int, naive: bool = False):
             prods = ec.scalar_mul(ctx, P, K)
             local = msm_ops.scan_sum(ctx, prods)
         else:
-            local = msm_ops._pippenger_impl(ctx, P, K, lanes)
+            local = msm_ops._pippenger_impl(ctx, P, K, lanes, msm_ops._wide_schedule())
         total = _ring_reduce_point(ctx, local, "data")
         return total
 

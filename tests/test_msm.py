@@ -46,7 +46,7 @@ def _pippenger_case(cfg, pts, ks, lanes):
     ctx = ec.ec_ctx(cfg)
     P = ec.from_affine_ints(ctx, pts)
     K = jnp.asarray(ff.ints_to_array(ks))
-    total = msm.pippenger_jit(ctx, P, K, lanes)
+    total = msm.pippenger_jit(ctx, P, K, lanes, msm._wide_schedule())
     got = ec.to_affine_ints(ctx, tuple(c[None] for c in total))[0]
     assert got == hc.msm_host(cfg, ks, pts)
 
@@ -120,7 +120,7 @@ def test_pippenger_large_matches_host():
     ks[1] = cfg.r - 1
     P = ec.from_affine_ints(ctx, pts)
     K = jnp.asarray(ff.ints_to_array(ks))
-    total = msm.pippenger_jit(ctx, P, K, 128)
+    total = msm.pippenger_jit(ctx, P, K, 128, msm._wide_schedule())
     got = ec.to_affine_ints(ctx, tuple(c[None] for c in total))[0]
     assert got == hc.msm_host(cfg, ks, pts)
 
