@@ -82,6 +82,7 @@ def bench_msm(n: int, headline: bool = False, verify: bool = True):
     mctx = pk.mont_ctx(PALLAS.p, PALLAS.b)
     xy = msm2._srs_pack("pallas", n)
     lanes = msm2._choose_lanes(n)
+    c_bits = msm2._choose_c(n)
 
     rng = np.random.default_rng(1234)
     # fresh scalar sets (device-resident limb rows): warmup + per iteration
@@ -89,7 +90,7 @@ def bench_msm(n: int, headline: bool = False, verify: bool = True):
           for _ in range(ITERS + 1)]
 
     t0 = time.time()
-    out = msm2._combine_host(PALLAS, msm2._msm2_device(mctx, n, lanes, 16, xy, Ks[0]), 16)
+    out = msm2._combine_host(PALLAS, msm2._msm2_device(mctx, n, lanes, c_bits, xy, Ks[0]), c_bits)
     compile_s = time.time() - t0
 
     prof_dir = os.environ.get("HALO_BENCH_PROFILE") if headline else None
@@ -98,7 +99,7 @@ def bench_msm(n: int, headline: bool = False, verify: bool = True):
     times = []
     for i in range(1, ITERS + 1):
         t0 = time.time()
-        out = msm2._combine_host(PALLAS, msm2._msm2_device(mctx, n, lanes, 16, xy, Ks[i]), 16)
+        out = msm2._combine_host(PALLAS, msm2._msm2_device(mctx, n, lanes, c_bits, xy, Ks[i]), c_bits)
         times.append(time.time() - t0)
     if prof_dir:
         jax.profiler.stop_trace()

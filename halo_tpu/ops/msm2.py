@@ -57,7 +57,15 @@ from ..curves import Affine, CurveCfg
 from . import ff, pallas_mont as pk
 from .ff import MASK, NLIMBS, U32
 
-C_BITS = 16  # window width (8 for the small-bucket CPU test config)
+C_BITS = 16  # production window width at large n
+
+
+def _choose_c(n: int) -> int:
+    """Window width by size: the c=16 aggregation has a ~0.3 s
+    size-independent cost (2^15-bucket bisect + assembly + tree) that
+    dominates small MSMs; c=8 doubles the scan work (32 windows) but its
+    aggregation is ~1/256 of that.  Crossover measured around n ~ 2^18."""
+    return 8 if n < (1 << 18) else 16
 WINDOWS = 16
 DMAX = 1 << 15  # max |digit|
 
@@ -92,10 +100,45 @@ def _py_add(p_mod: int, P, Q):
     return (x3, (lam * (x1 - x3) - y1) % p_mod)
 
 
+# Inversion-free host EC on projective ints (RCB complete, a=0, b=5): the
+# final window combine does ~270 group ops; with affine adds each costs a
+# modular inversion (~0.2 ms), with these it is ~10 us.
+def _pj_add(p, b3, P, Q):
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0 = X1 * X2 % p
+    t1 = Y1 * Y2 % p
+    t2 = Z1 * Z2 % p
+    t3 = ((X1 + Y1) * (X2 + Y2) - t0 - t1) % p
+    t4 = ((Y1 + Z1) * (Y2 + Z2) - t1 - t2) % p
+    y3 = ((X1 + Z1) * (X2 + Z2) - t0 - t2) % p
+    t0 = 3 * t0 % p
+    t2 = b3 * t2 % p
+    z3 = (t1 + t2) % p
+    t1 = (t1 - t2) % p
+    y3 = b3 * y3 % p
+    X3 = (t3 * t1 - t4 * y3) % p
+    Y3 = (t1 * z3 + y3 * t0) % p
+    Z3 = (z3 * t4 + t0 * t3) % p
+    return (X3, Y3, Z3)
+
+
 def _py_dbl_n(p_mod: int, P, k: int):
+    if P is None or k == 0:
+        return P
+    b3 = 15 % p_mod
+    Pj = (P[0], P[1], 1)
     for _ in range(k):
-        P = _py_add(p_mod, P, P)
-    return P
+        Pj = _pj_add(p_mod, b3, Pj, Pj)
+    return _pj_to_aff(p_mod, Pj)
+
+
+def _pj_to_aff(p_mod: int, Pj):
+    X, Y, Z = Pj
+    if Z == 0:
+        return None
+    zi = pow(Z, -1, p_mod)
+    return (X * zi % p_mod, Y * zi % p_mod)
 
 
 # ---------------- device pipeline ---------------- #
@@ -145,6 +188,37 @@ def _bisect_right(keys_sorted: jnp.ndarray, queries: jnp.ndarray, n: int):
         lo = jnp.where(go, mid + 1, lo)
         hi = jnp.where(upd & ~go, mid, hi)
     return lo  # count of keys <= q
+
+
+def _bisect_right2(keys_sorted: jnp.ndarray, queries: jnp.ndarray, n: int):
+    """Two-level variant of _bisect_right: a coarse pass over every 64th
+    query bounds each query's search interval (counts are monotone in the
+    query), then the refinement runs ~log2(n) masked rounds on narrowed
+    intervals -- same result, fewer full-width gather rounds."""
+    q = queries.shape[0]
+    stride = 64
+    if q <= 2 * stride:
+        return _bisect_right(keys_sorted, queries, n)
+    coarse_q = queries[::stride]
+    coarse = _bisect_right(keys_sorted, coarse_q, n)  # (W, ceil(q/64))
+    W = keys_sorted.shape[0]
+    idx = jnp.arange(q, dtype=jnp.int32)
+    ci = idx // stride
+    lo = coarse[:, ci]  # count(block's first query) <= count(q)
+    upper = jnp.concatenate([coarse[:, 1:], jnp.full((W, 1), n, jnp.int32)], axis=1)
+    hi = upper[:, ci]  # count(next block's first query) >= count(q)
+    warr = jnp.arange(W, dtype=jnp.int32)[:, None]
+    qa = jnp.broadcast_to(queries[None, :], (W, q)).astype(U32)
+    lo = lo.astype(jnp.int32)
+    hi = hi.astype(jnp.int32)
+    for _ in range(int(n).bit_length()):
+        upd = lo < hi
+        mid = (lo + hi) >> 1
+        kv = keys_sorted[warr, jnp.minimum(mid, n - 1)]
+        go = upd & (kv <= qa)
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(upd & ~go, mid, hi)
+    return lo
 
 
 def _identity_rows(mctx: pk.MontCtx, shape):
@@ -258,9 +332,11 @@ def _msm2_device(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int,
     T = tuple(c.reshape(NLIMBS, windows, L) for c in accT)
     Lx = _excl_prefix(mctx, T, L)  # (16, W, L)
 
-    # bucket boundary positions: r_d = (# keys <= d) - 1 for d = 0..dmax
+    # bucket boundary positions: r_d = (# keys <= d) - 1 for d = 0..dmax.
+    # Two-level search: coarse brackets at stride 64, then each query
+    # refines inside an n/? bracket via masked bisection on [lo0, hi0).
     qs = jnp.arange(dmax + 1, dtype=U32)
-    cnt = _bisect_right(keys_s, qs, n)  # (W, 2^15+1)
+    cnt = _bisect_right2(keys_s, qs, n)  # (W, dmax+1)
     r = cnt - 1
     valid = r >= 0
     rc = jnp.maximum(r, 0)
@@ -329,28 +405,31 @@ def _combine_host(cfg: CurveCfg, S_rows, c_bits: int) -> Affine:
     p_mod = cfg.p
     arrs = [np.asarray(c) for c in S_rows]  # (16, W, 2) x 3
 
-    def to_pt(w, j):
+    b3 = 15 % p_mod
+
+    def to_pj(w, j):
         limbs = [int(ff.limbs_to_int(arrs[k][:, w, j])) for k in range(3)]
-        x, y, z = [v % p_mod for v in limbs]
-        if z == 0:
-            return None
-        zi = pow(z, -1, p_mod)
-        return (x * zi % p_mod, y * zi % p_mod)  # Montgomery factors cancel
+        return tuple(v % p_mod for v in limbs)  # Montgomery factors cancel in x/z, y/z
 
-    total = None
+    total = (0, 1, 0)
     for w in reversed(range(windows)):
-        qsum, qtop = to_pt(w, 0), to_pt(w, 1)
-        neg = None if qsum is None else (qsum[0], (p_mod - qsum[1]) % p_mod)
-        Ww = _py_add(p_mod, _py_dbl_n(p_mod, qtop, c_bits - 1), neg)
-        total = _py_dbl_n(p_mod, total, c_bits)
-        total = _py_add(p_mod, total, Ww)
-    return total
+        qsum, qtop = to_pj(w, 0), to_pj(w, 1)
+        for _ in range(c_bits):
+            total = _pj_add(p_mod, b3, total, total)
+        Ww = qtop
+        for _ in range(c_bits - 1):
+            Ww = _pj_add(p_mod, b3, Ww, Ww)
+        neg = (qsum[0], (p_mod - qsum[1]) % p_mod, qsum[2])
+        Ww = _pj_add(p_mod, b3, Ww, neg)
+        total = _pj_add(p_mod, b3, total, Ww)
+    return _pj_to_aff(p_mod, total)
 
 
-def msm2_srs(cfg: CurveCfg, scalars: list[int], c_bits: int = C_BITS) -> Affine:
+def msm2_srs(cfg: CurveCfg, scalars: list[int], c_bits: int | None = None) -> Affine:
     """MSM against the first len(scalars) SRS generators (device v2 path)."""
     n_req = len(scalars)
     n = max(4096, 1 << (n_req - 1).bit_length())
+    c_bits = c_bits or _choose_c(n)
     mctx = pk.mont_ctx(cfg.p, cfg.b)
     xy = _srs_pack(cfg.name, n)
     ks = scalars + [0] * (n - n_req)
@@ -361,12 +440,13 @@ def msm2_srs(cfg: CurveCfg, scalars: list[int], c_bits: int = C_BITS) -> Affine:
 
 
 def msm2(cfg: CurveCfg, scalars: list[int], points: list[Affine],
-         c_bits: int = C_BITS, min_n: int = 4096) -> Affine:
+         c_bits: int | None = None, min_n: int = 4096) -> Affine:
     """General MSM over explicit points (device v2 path)."""
     n_req = len(scalars)
     if n_req == 0:
         return None
     n = max(min_n, 1 << (n_req - 1).bit_length())
+    c_bits = c_bits or _choose_c(n)
     mctx = pk.mont_ctx(cfg.p, cfg.b)
     pts = list(points[:n_req]) + [None] * (n - n_req)
     xy, inf = pack_points(cfg, pts)

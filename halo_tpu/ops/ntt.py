@@ -111,9 +111,80 @@ def _ntt_fn(m: int, log_n: int, inverse: bool):
     return jax.jit(fn)
 
 
+# ---------------- rows-layout accelerator path (v2) ---------------- #
+#
+# The jnp mont_mul materializes (batch, 2, 16, 16) conv tensors; at 2^22
+# batch that is an 8 GB HLO temp and the forward NTT OOMs a 16 GB chip.
+# The v2 path runs every butterfly through the fused quasi-2p Pallas
+# kernel (ops/pallas_mont.py:bfly) in limb-rows layout: one kernel
+# instantiation serves all stages (identical (16, n/2) shapes), values
+# stay lazily reduced until a single final canonicalization.
+
+ROWS_NTT_MIN = 1 << 12  # below this the jnp path is fine and CPU-testable
+
+
+def _use_rows_path(n: int) -> bool:
+    import os
+
+    env = os.environ.get("HALO_TPU_NTT_V2")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu" and n >= ROWS_NTT_MIN
+
+
+@lru_cache(maxsize=64)
+def _plan_rows(m: int, log_n: int, inverse: bool):
+    """Device twiddle plan in rows layout: per-stage (16, half) arrays."""
+    rev, stage_tw, n_inv = _plan(m, log_n, inverse)
+    return (
+        jnp.asarray(rev),
+        tuple(jnp.asarray(np.ascontiguousarray(t.T), U32) for t in stage_tw),
+        jnp.asarray(
+            (n_inv if inverse else np.zeros(NLIMBS, np.uint32))[:, None], U32),
+    )
+
+
+@lru_cache(maxsize=64)
+def _ntt_rows_fn(m: int, log_n: int, inverse: bool):
+    from ..curves import PALLAS, VESTA
+    from . import pallas_mont as pk
+
+    cfg = PALLAS if PALLAS.r == m or PALLAS.p == m else VESTA
+    # NTT domains live in the SCALAR field of the curve whose base field is
+    # the other Pasta prime; the MontCtx only needs the modulus (b unused
+    # by mm/bfly/canon kernels but part of the cache key).
+    mctx = pk.mont_ctx(m, 5)
+    n = 1 << log_n
+
+    def fn(a, rev, n_inv, *stage_tw):
+        x = jnp.transpose(a)[:, rev]  # (16, n), bit-reversed
+        for s in range(1, log_n + 1):
+            mlen = 1 << s
+            half = mlen // 2
+            blocks = n // mlen
+            xb = x.reshape(NLIMBS, blocks, mlen)
+            even = xb[:, :, :half].reshape(NLIMBS, n // 2)
+            odd = xb[:, :, half:].reshape(NLIMBS, n // 2)
+            twf = jnp.broadcast_to(stage_tw[s - 1][:, None, :],
+                                   (NLIMBS, blocks, half)).reshape(NLIMBS, n // 2)
+            e2, o2 = pk.bfly_rows(mctx, even, odd, twf)
+            x = jnp.concatenate(
+                [e2.reshape(NLIMBS, blocks, half), o2.reshape(NLIMBS, blocks, half)],
+                axis=2).reshape(NLIMBS, n)
+        if inverse:
+            x = pk.mulc_rows(mctx, x, n_inv)
+        x = pk.canon_rows(mctx, x)
+        return jnp.transpose(x)
+
+    return jax.jit(fn)
+
+
 def _ntt_dispatch(ctx: FFCtx, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     log_n = int(a.shape[-2]).bit_length() - 1
     assert a.shape[-2] == 1 << log_n
+    if a.ndim == 2 and _use_rows_path(1 << log_n):
+        rev, stage_tw, n_inv = _plan_rows(ctx.m, log_n, inverse)
+        return _ntt_rows_fn(ctx.m, log_n, inverse)(a, rev, n_inv, *stage_tw)
     rev, stage_tw, n_inv = _plan_device(ctx.m, log_n, inverse)
     return _ntt_fn(ctx.m, log_n, inverse)(a, rev, n_inv, *stage_tw)
 

@@ -405,6 +405,44 @@ def _pdbl_kernel(x_r, y_r, z_r,
     z3_r[:] = Z3
 
 
+def _bfly_kernel(e_ref, o_ref, t_ref,
+                 p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                 e3_r, o3_r):
+    """Radix-2 NTT butterfly: (e, o, w) -> (e + w*o, e - w*o), quasi-2p
+    domain (one canon pass at the end of the transform, never per stage).
+    The NTT hot op (reference: ark-poly Radix2EvaluationDomain FFT behind
+    crates/group/src/poly.rs:11)."""
+    B = e_ref.shape[1]
+    p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
+    p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
+    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
+    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
+    t = _mm(o_ref[:], t_ref[:], pc, npr, cf_ref[:], cl_ref[:])
+    e3_r[:] = _fadd(e_ref[:], t, p2c)
+    o3_r[:] = _fsub(e_ref[:], t, p4c, p2c)
+
+
+def _mulc_kernel(a_ref, c_ref,
+                 p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                 o_ref):
+    """a * c (both (16, B); c typically a broadcast constant row)."""
+    B = a_ref.shape[1]
+    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
+    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
+    o_ref[:] = _mm(a_ref[:], c_ref[:], pc, npr, cf_ref[:], cl_ref[:])
+
+
+def _canon_kernel(a_ref,
+                  p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                  o_ref):
+    """Quasi-2p -> canonical [0, p): conditional subtract of 2p then p."""
+    B = a_ref.shape[1]
+    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
+    p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
+    s = _sub_const_if_ge(a_ref[:], p2c)
+    o_ref[:] = _sub_const_if_ge(s, pc)
+
+
 _KERNELS = {
     # kind -> (kernel, input row counts, output count)
     "mm": (_mm_kernel, (NLIMBS, NLIMBS), 1),
@@ -412,6 +450,9 @@ _KERNELS = {
     "pmadd": (_pmadd_kernel, (NLIMBS,) * 5, 3),
     "pmadd_pack": (_pmadd_pack_kernel, (NLIMBS, NLIMBS, NLIMBS, NLIMBS, 1), 3),
     "pdbl": (_pdbl_kernel, (NLIMBS,) * 3, 3),
+    "bfly": (_bfly_kernel, (NLIMBS,) * 3, 2),
+    "mulc": (_mulc_kernel, (NLIMBS,) * 2, 1),
+    "canon": (_canon_kernel, (NLIMBS,), 1),
 }
 
 
@@ -512,3 +553,18 @@ def pmadd_pack_rows(ctx: MontCtx, P, pack, sign):
     """Mixed add with packed affine operand; P = (X, Y, Z) (16, N) arrays,
     pack (16, N) = x | (y << 16), sign (1, N) nonzero -> add -point."""
     return tuple(_run(ctx, "pmadd_pack", (*P, pack, sign)))
+
+
+def bfly_rows(ctx: MontCtx, even, odd, tw):
+    """NTT butterfly on (16, N) arrays -> (even + tw*odd, even - tw*odd)."""
+    return tuple(_run(ctx, "bfly", (even, odd, tw)))
+
+
+def mulc_rows(ctx: MontCtx, a, c):
+    """Montgomery product (quasi-2p); c broadcastable (16, N) rows."""
+    return _run(ctx, "mulc", (a, jnp.broadcast_to(c, a.shape)))
+
+
+def canon_rows(ctx: MontCtx, a):
+    """Canonicalize quasi-2p rows to [0, p)."""
+    return _run(ctx, "canon", (a,))

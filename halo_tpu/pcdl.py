@@ -61,8 +61,9 @@ def _msm(cfg: CurveCfg, scalars, points) -> Affine:
 
 import os
 
-# below this size the host Pippenger beats device dispatch+compile overhead
-DEVICE_MSM_MIN = int(os.environ.get("HALO_TPU_DEVICE_MSM_MIN", "512"))
+# below this size the native host Pippenger beats device dispatch overhead
+# (v2 device MSM pads to 4096 lanes; native C++ does 2048 points in ~40 ms)
+DEVICE_MSM_MIN = int(os.environ.get("HALO_TPU_DEVICE_MSM_MIN", "2048"))
 # minimum n for the device IPA fold loop (ops/ipa.py)
 DEVICE_OPEN_MIN = int(os.environ.get("HALO_TPU_DEVICE_OPEN_MIN", "4096"))
 

@@ -129,10 +129,30 @@ class PublicParams:
         ]
 
 
+def _derive_generator(cfg: CurveCfg, i: int) -> Affine:
+    """SRS generator i from scratch: G * (SHA3-256(i_le || genesis) mod r)
+    (reference crates/group/src/main.rs:55-68; used when the reference
+    .precompute mount is absent, e.g. on a bare CI runner)."""
+    import hashlib
+
+    from .curves import ec_mul
+
+    h = hashlib.sha3_256()
+    h.update(int(i).to_bytes(8, "little"))
+    h.update(b"To understand recursion, one must first understand recursion")
+    return ec_mul(cfg, cfg.generator, int.from_bytes(h.digest(), "little") % cfg.r)
+
+
+def _have_reference() -> bool:
+    return REFERENCE_PRECOMPUTE.exists()
+
+
 @lru_cache(maxsize=4)
 def load_sh(cfg_name: str) -> tuple[Affine, Affine]:
     """Parse only S and H (sh.bin) — enough for succinct checks."""
     cfg = PALLAS if cfg_name == "pallas" else VESTA
+    if not _have_reference():
+        return _derive_generator(cfg, 0), _derive_generator(cfg, 1)
     sh_buf = np.frombuffer((REFERENCE_PRECOMPUTE / cfg.name / "sh.bin").read_bytes(), np.uint8)
     sh_limbs, _ = _decode_varints(sh_buf, 16, 0)
     vals = [from_mont([int(x) for x in sh_limbs[i * 4 : i * 4 + 4]], cfg.p) for i in range(4)]
@@ -171,6 +191,27 @@ def load_srs(cfg_name: str, n: int = N_MAX) -> PublicParams:
             gs_x=z["gs_x"],
             gs_y=z["gs_y"],
         )
+
+    if not _have_reference():
+        # Bootstrap on a bare runner (the reference's `bootstrap` cargo
+        # feature analog, crates/group/build.rs:84-101): derive S (idx 0),
+        # H (idx 1) and generators idx b+k+2 per the overlapping-block
+        # layout.  Intended for small n (CI); cached in the npz afterwards.
+        S = _derive_generator(cfg, 0)
+        H = _derive_generator(cfg, 1)
+        gx = np.empty((n, NUM_LIMBS16), dtype=np.uint16)
+        gy = np.empty((n, NUM_LIMBS16), dtype=np.uint16)
+        for j in range(n):
+            b, k = divmod(j, G_BLOCKS_SIZE)
+            pt = _derive_generator(cfg, b + k + 2)
+            gx[j] = np.frombuffer(int(pt[0]).to_bytes(32, "little"), dtype="<u2")
+            gy[j] = np.frombuffer(int(pt[1]).to_bytes(32, "little"), dtype="<u2")
+        CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        sh_arr = np.stack(
+            [np.frombuffer(int(v).to_bytes(32, "little"), dtype="<u2")
+             for v in (S[0], S[1], H[0], H[1])])
+        np.savez_compressed(cache, sh=sh_arr, gs_x=gx, gs_y=gy)
+        return PublicParams(cfg=cfg, S=S, H=H, D=n - 1, gs_x=gx, gs_y=gy)
 
     # sh.bin: tuple (S, H) of WrappedPoint (8 varint u64 each)
     sh_buf = np.frombuffer((REFERENCE_PRECOMPUTE / cfg.name / "sh.bin").read_bytes(), np.uint8)

@@ -1,0 +1,42 @@
+"""Exercise the multi-host runtime wrapper (halo_tpu/parallel/multihost.py):
+a real 2-process jax.distributed cluster on the CPU platform running the
+sharded MSM over the GLOBAL mesh (the DCN code path; SURVEY.md §2.6
+communication-backend row).  The reference has no analog (single-process
+rayon); this is the framework's north-star scaling surface.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.slow
+def test_two_process_global_mesh_msm(tmp_path):
+    env_common = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_COORDINATOR_ADDRESS": "localhost:12723",
+        "JAX_NUM_PROCESSES": "2",
+    }
+    procs = []
+    for pid in range(2):
+        env = {**env_common, "JAX_PROCESS_ID": str(pid)}
+        procs.append(subprocess.Popen(
+            [sys.executable, str(ROOT / "tools" / "bench_scaling.py"),
+             "--log-n", "10", "--iters", "1", "--multihost"],
+            env=env, cwd=str(ROOT),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    assert '"verified": true' in outs[0]
+    assert (ROOT / "BENCH_SCALING_MULTIHOST.json").exists()

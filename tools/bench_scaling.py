@@ -26,7 +26,6 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-sys.modules.setdefault("zstandard", None)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
@@ -39,13 +38,31 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parents[1] / ".cache" / "jax-tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=14)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--multihost", action="store_true",
+                    help="join a jax.distributed cluster (env JAX_COORDINATOR_"
+                         "ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID) and run the "
+                         "sharded MSM on the GLOBAL mesh (the DCN code path)")
     args = ap.parse_args()
+
+    if args.multihost:
+        from halo_tpu.parallel import multihost
+
+        multihost.initialize_multihost()
+        print(f"multihost: process {multihost.process_index()} of "
+              f"{os.environ.get('JAX_NUM_PROCESSES')}, local devices "
+              f"{multihost.local_device_count()}, global {len(jax.devices())}",
+              file=sys.stderr, flush=True)
 
     from halo_tpu import native
     from halo_tpu.curves import PALLAS
@@ -76,15 +93,38 @@ def main() -> None:
     results = []
     lanes = 128
     base_time = None
-    for d in (1, 2, 4, 8):
+    mesh_sizes = (len(jax.devices()),) if args.multihost else (1, 2, 4, 8)
+    for d in mesh_sizes:
         if d > len(jax.devices()):
             break
-        mesh = pmesh.data_mesh(d)
-        fn = pmsm.sharded_msm_fn(ctx, mesh, lanes, naive=False)
+        if args.multihost:
+            from halo_tpu.parallel import multihost
+
+            mesh = multihost.global_data_mesh()
+        else:
+            mesh = pmesh.data_mesh(d)
+        fn = pmsm.sharded_msm_fn(ctx, mesh, lanes, naive=(n // d < 4096))
 
         def run(K):
-            X, Y, Z = (pmesh.shard_leading(mesh, c) for c in P)
-            Kd = pmesh.shard_leading(mesh, jnp.asarray(K))
+            if args.multihost:
+                # multi-controller: build each host's shard locally
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh = NamedSharding(mesh, PartitionSpec("data"))
+
+                pidx = jax.process_index()
+                nproc = jax.process_count()
+                lo, hi = pidx * n // nproc, (pidx + 1) * n // nproc
+
+                def put(x):
+                    return jax.make_array_from_process_local_data(
+                        sh, np.asarray(x)[lo:hi])
+
+                X, Y, Z = (put(c) for c in P)
+                Kd = put(np.asarray(K))
+            else:
+                X, Y, Z = (pmesh.shard_leading(mesh, c) for c in P)
+                Kd = pmesh.shard_leading(mesh, jnp.asarray(K))
             out = fn(X, Y, Z, Kd)
             return jax.device_get(out)
 
@@ -111,7 +151,10 @@ def main() -> None:
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    out_path = Path(__file__).resolve().parents[1] / "BENCH_SCALING.json"
+    if args.multihost and jax.process_index() != 0:
+        return
+    out_path = Path(__file__).resolve().parents[1] / (
+        "BENCH_SCALING_MULTIHOST.json" if args.multihost else "BENCH_SCALING.json")
     out_path.write_text(json.dumps({
         "note": "virtual CPU mesh: measures sharding+collective overhead and "
                 "correctness, not real multi-chip speedup (all devices share "
