@@ -439,6 +439,25 @@ def msm2_srs(cfg: CurveCfg, scalars: list[int], c_bits: int | None = None) -> Af
     return _combine_host(cfg, S, c_bits)
 
 
+def msm2_srs_rows(cfg: CurveCfg, K_rows, n_req: int,
+                  c_bits: int | None = None) -> Affine:
+    """SRS MSM with DEVICE-resident canonical scalar limb rows (16, n_req)
+    -- the prover's commit path (no host round-trip of the coefficients
+    through the slow tunnel)."""
+    import jax.numpy as jnp
+
+    n = max(4096, 1 << (n_req - 1).bit_length())
+    c_bits = c_bits or _choose_c(n)
+    mctx = pk.mont_ctx(cfg.p, cfg.b)
+    xy = _srs_pack(cfg.name, n)
+    if n_req != n:
+        K_rows = jnp.concatenate(
+            [K_rows, jnp.zeros((NLIMBS, n - n_req), K_rows.dtype)], axis=1)
+    lanes = _choose_lanes(n)
+    S = _msm2_device(mctx, n, lanes, c_bits, xy, K_rows)
+    return _combine_host(cfg, S, c_bits)
+
+
 def msm2(cfg: CurveCfg, scalars: list[int], points: list[Affine],
          c_bits: int | None = None, min_n: int = 4096) -> Affine:
     """General MSM over explicit points (device v2 path)."""

@@ -157,24 +157,27 @@ def _ntt_rows_fn(m: int, log_n: int, inverse: bool):
     n = 1 << log_n
 
     def fn(a, rev, n_inv, *stage_tw):
-        x = jnp.transpose(a)[:, rev]  # (16, n), bit-reversed
+        # a: (k, n, 16) (k = 1 for the unbatched case); rows (16, k, n)
+        k = a.shape[0]
+        x = jnp.transpose(a, (2, 0, 1))[:, :, rev]
         for s in range(1, log_n + 1):
             mlen = 1 << s
             half = mlen // 2
             blocks = n // mlen
-            xb = x.reshape(NLIMBS, blocks, mlen)
-            even = xb[:, :, :half].reshape(NLIMBS, n // 2)
-            odd = xb[:, :, half:].reshape(NLIMBS, n // 2)
-            twf = jnp.broadcast_to(stage_tw[s - 1][:, None, :],
-                                   (NLIMBS, blocks, half)).reshape(NLIMBS, n // 2)
+            xb = x.reshape(NLIMBS, k, blocks, mlen)
+            even = xb[..., :half].reshape(NLIMBS, k * n // 2)
+            odd = xb[..., half:].reshape(NLIMBS, k * n // 2)
+            twf = jnp.broadcast_to(stage_tw[s - 1][:, None, None, :],
+                                   (NLIMBS, k, blocks, half)).reshape(NLIMBS, k * n // 2)
             e2, o2 = pk.bfly_rows(mctx, even, odd, twf)
             x = jnp.concatenate(
-                [e2.reshape(NLIMBS, blocks, half), o2.reshape(NLIMBS, blocks, half)],
-                axis=2).reshape(NLIMBS, n)
+                [e2.reshape(NLIMBS, k, blocks, half), o2.reshape(NLIMBS, k, blocks, half)],
+                axis=3).reshape(NLIMBS, k, n)
+        x = x.reshape(NLIMBS, k * n)
         if inverse:
             x = pk.mulc_rows(mctx, x, n_inv)
         x = pk.canon_rows(mctx, x)
-        return jnp.transpose(x)
+        return jnp.transpose(x.reshape(NLIMBS, k, n), (1, 2, 0))
 
     return jax.jit(fn)
 
@@ -182,9 +185,13 @@ def _ntt_rows_fn(m: int, log_n: int, inverse: bool):
 def _ntt_dispatch(ctx: FFCtx, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     log_n = int(a.shape[-2]).bit_length() - 1
     assert a.shape[-2] == 1 << log_n
-    if a.ndim == 2 and _use_rows_path(1 << log_n):
+    n = 1 << log_n
+    if a.ndim in (2, 3) and _use_rows_path(n) and (n // 2) % 512 == 0:
         rev, stage_tw, n_inv = _plan_rows(ctx.m, log_n, inverse)
-        return _ntt_rows_fn(ctx.m, log_n, inverse)(a, rev, n_inv, *stage_tw)
+        fn = _ntt_rows_fn(ctx.m, log_n, inverse)
+        if a.ndim == 2:
+            return fn(a[None], rev, n_inv, *stage_tw)[0]
+        return fn(a, rev, n_inv, *stage_tw)
     rev, stage_tw, n_inv = _plan_device(ctx.m, log_n, inverse)
     return _ntt_fn(ctx.m, log_n, inverse)(a, rev, n_inv, *stage_tw)
 

@@ -136,7 +136,18 @@ class Engine:
     # ---------------- commitments ---------------- #
 
     def commit(self, coeffs: jnp.ndarray, d: int):
-        """Commit (n,16) Montgomery coeff array against the SRS -> affine."""
+        """Commit (n,16) Montgomery coeff array against the SRS -> affine.
+
+        On accelerators the scalars stay on device end-to-end (the v2 MSM
+        consumes canonical limb rows directly); the host path pulls ints
+        and goes through pcdl.commit (which picks native C++ for small n).
+        """
+        n = coeffs.shape[0]
+        if jax.default_backend() != "cpu" and n >= 2048:
+            from ..ops import msm2
+
+            K = jnp.transpose(ff.from_mont_jit(self.ctx, coeffs))
+            return msm2.msm2_srs_rows(_cfg_of(self.cfg_name), K, n)
         vals = self.to_ints(coeffs)
         from .. import pcdl
 
