@@ -45,6 +45,13 @@ jax.config.update(
     "jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".cache", "jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# zstd segfaults compressing some large CPU executables (see
+# tests/conftest.py); route cache compression to zlib everywhere.
+from jax._src import compilation_cache as _jax_cc  # noqa: E402
+
+_jax_cc.zstandard = None
+if hasattr(_jax_cc, "zstd"):
+    _jax_cc.zstd = None
 
 REFERENCE_MSM_POINTS_PER_S = 7.0e5  # estimate; see module docstring
 ITERS = int(os.environ.get("HALO_BENCH_ITERS", 3))

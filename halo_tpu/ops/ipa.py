@@ -127,7 +127,20 @@ def open_without_eval_device(
     Ls: list[Affine] = []
     Rs: list[Affine] = []
     a = P
+    cur_P = P
     for _ in range(lg_n):
+        # Re-pack to the active prefix once it shrinks 4x: the fixed-shape
+        # rounds otherwise run EVERY round at the full padded width (masked
+        # lanes still cost adds), which made the fold ~6x more expensive
+        # than the active work; a few shape classes (P, P/4, P/16, ...)
+        # keep compiles bounded while work tracks the live size.
+        if a >= 64 and 4 * a <= cur_P:
+            cur_P = a
+            cs_l, cs_r = cs_l[:a], cs_r[:a]
+            zs_l, zs_r = zs_l[:a], zs_r[:a]
+            gs_l = tuple(c[:a] for c in gs_l)
+            gs_r = tuple(c[:a] for c in gs_r)
+            f1, f2 = _round_fns(ectx, fctx, cur_P)
         dl_prods, dr_prods, Lmsm, Rmsm = f1(
             cs_l, cs_r, zs_l, zs_r, gs_l, gs_r, jnp.int32(a)
         )

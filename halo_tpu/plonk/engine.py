@@ -158,18 +158,112 @@ class Engine:
     def grand_product(self, ratios: jnp.ndarray) -> jnp.ndarray:
         """Permutation accumulator: z[0]=1, z[i]=z[i-1]*ratios[i] (i>=1),
         matching the reference's indexing (protocol.rs:144-155); ratios[0]
-        is unused."""
-        ctx = self.ctx
+        is unused.
 
-        def combine(a, b):
-            return ff.mont_mul(ctx, a, b)
+        On accelerators: a Hillis-Steele product scan in limb-rows layout
+        over ONE cached Pallas mul kernel (log2(n) identical-shape rounds).
+        jax.lax.associative_scan over the jnp mont_mul unrolls ~2 log n
+        distinct-shape limb graphs -- measured 366 s of XLA compile and a
+        7.3 s run at n = 2^14; this path compiles in seconds and runs in
+        milliseconds."""
+        n = ratios.shape[0]
+        if jax.default_backend() == "cpu" or n < 1024 or n % 512:
+            ctx = self.ctx
 
-        prefix = jax.lax.associative_scan(combine, ratios[1:], axis=0)
-        one = ff.mont_one(ctx, (1,))
-        return jnp.concatenate([one, prefix], axis=0)
+            def combine(a, b):
+                return ff.mont_mul(ctx, a, b)
+
+            prefix = jax.lax.associative_scan(combine, ratios[1:], axis=0)
+            one = ff.mont_one(ctx, (1,))
+            return jnp.concatenate([one, prefix], axis=0)
+        return _grand_product_rows_jit(self.m, ratios)
 
     def batch_inv(self, a: jnp.ndarray) -> jnp.ndarray:
-        return ff.mont_inv_jit(self.ctx, a)
+        """Elementwise inverse of a nonzero (n, 16) batch.
+
+        Montgomery's trick, TPU-style: one inclusive product scan forward,
+        one backward, a SINGLE field inversion (done in exact host ints on
+        the 32-byte total), then inv(a_i) = prefix_excl(i) * suffix_excl(i)
+        * total^-1.  Replaces the 256-round Fermat ladder, which serialized
+        256 full-width muls (75% of the device prover's round 3)."""
+        n = a.shape[0]
+        if n < 1024 or n % 512:
+            return ff.mont_inv_jit(self.ctx, a)
+        prefix_inc, suffix_inc = _inout_scans_rows_jit(self.m, a)
+        total = prefix_inc[-1]
+        t_int = self.to_ints(total[None])[0]
+        t_inv = pow(t_int, -1, self.m)
+        tinv_dev = self.to_dev([t_inv])[0]
+        return _batch_inv_combine_jit(self.m, a, prefix_inc, suffix_inc, tinv_dev)
+
+
+from functools import partial as _partial
+
+
+def _mont_ctx_for(m: int):
+    from ..ops import pallas_mont as pk
+
+    return pk.mont_ctx(m, 5)  # b unused by the mul/canon kernels
+
+
+def _one_rows(m: int, width: int):
+    one = ff.int_to_limbs((1 << 256) % m)
+    return jnp.broadcast_to(jnp.asarray(one, U32)[:, None], (NLIMBS, width))
+
+
+def _scan_mul_rows(m: int, x, reverse: bool = False):
+    """Inclusive product scan along the lane axis of (16, n) rows via
+    log2(n) rounds of the cached Pallas mul kernel (quasi-2p domain)."""
+    from ..ops import pallas_mont as pk
+
+    mctx = _mont_ctx_for(m)
+    n = x.shape[1]
+    sh = 1
+    while sh < n:
+        if reverse:
+            shifted = jnp.concatenate([x[:, sh:], _one_rows(m, sh)], axis=1)
+        else:
+            shifted = jnp.concatenate([_one_rows(m, sh), x[:, :-sh]], axis=1)
+        x = pk.mm_rows(mctx, x, shifted)
+        sh *= 2
+    return x
+
+
+@_partial(jax.jit, static_argnums=0)
+def _grand_product_rows_jit(m: int, ratios):
+    from ..ops import pallas_mont as pk
+
+    mctx = _mont_ctx_for(m)
+    x = jnp.transpose(ratios)  # (16, n)
+    x = jnp.concatenate([_one_rows(m, 1), x[:, 1:]], axis=1)  # drop ratios[0]
+    z = _scan_mul_rows(m, x)
+    return jnp.transpose(pk.canon_rows(mctx, z))
+
+
+@_partial(jax.jit, static_argnums=0)
+def _inout_scans_rows_jit(m: int, a):
+    from ..ops import pallas_mont as pk
+
+    mctx = _mont_ctx_for(m)
+    x = jnp.transpose(a)
+    fwd = _scan_mul_rows(m, x)
+    bwd = _scan_mul_rows(m, x, reverse=True)
+    return jnp.transpose(pk.canon_rows(mctx, fwd)), jnp.transpose(pk.canon_rows(mctx, bwd))
+
+
+@_partial(jax.jit, static_argnums=0)
+def _batch_inv_combine_jit(m: int, a, prefix_inc, suffix_inc, tinv):
+    from ..ops import pallas_mont as pk
+
+    mctx = _mont_ctx_for(m)
+    ctx = ff.ctx_for(m)
+    one = ff.mont_one(ctx, (1,))
+    pre_excl = jnp.concatenate([one, prefix_inc[:-1]], axis=0)
+    suf_excl = jnp.concatenate([suffix_inc[1:], one], axis=0)
+    out = pk.mm_rows(mctx, jnp.transpose(pre_excl), jnp.transpose(suf_excl))
+    out = pk.mm_rows(mctx, out, jnp.broadcast_to(
+        jnp.transpose(tinv[None]), out.shape))
+    return jnp.transpose(pk.canon_rows(mctx, out))
 
 
 @jax.jit

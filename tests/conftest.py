@@ -34,6 +34,16 @@ os.environ.setdefault("HALO_TPU_DEVICE_OPEN_MIN", "1000000000")
 
 import jax  # noqa: E402
 
+# zstandard.backend_c segfaults compressing some large limb-arithmetic CPU
+# executables (reproduced: worker crash with zstandard.backend_c on the
+# stack); route the cache's compression to zlib by hiding the module from
+# jax._src.compilation_cache (safe: entries self-describe their codec).
+from jax._src import compilation_cache as _jax_cc  # noqa: E402
+
+_jax_cc.zstandard = None
+if hasattr(_jax_cc, "zstd"):
+    _jax_cc.zstd = None
+
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", _test_cache or None)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -29,6 +29,13 @@ jax.config.update(
     "jax_compilation_cache_dir", str(Path(__file__).resolve().parents[1] / ".cache" / "jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# zstd segfaults compressing some large CPU executables (see
+# tests/conftest.py); route cache compression to zlib everywhere.
+from jax._src import compilation_cache as _jax_cc  # noqa: E402
+
+_jax_cc.zstandard = None
+if hasattr(_jax_cc, "zstd"):
+    _jax_cc.zstd = None
 
 
 def main() -> None:
@@ -73,10 +80,20 @@ def main() -> None:
     state.verify()
     print(f"(0) IVC Verifier took {time.time() - t0:.1f} s", flush=True)
 
+    from halo_tpu.curves import VESTA
+
     for i in range(args.steps):
         t0 = time.time()
         state = state.prove()
-        print(f"({i} -> {i + 1}) IVC Prover took {time.time() - t0:.1f} s", flush=True)
+        prove_s = time.time() - t0
+
+        # proof-size accounting (thesis 08-benchmarks/index.md:79-90:
+        # ~10 kB per step = both curves' proofs)
+        fp_bytes = len(state.fp_proof.to_bytes(PALLAS))
+        fq_bytes = len(state.fq_proof.to_bytes(VESTA))
+        print(f"({i} -> {i + 1}) IVC Prover took {prove_s:.1f} s "
+              f"(proof {fp_bytes} + {fq_bytes} = {fp_bytes + fq_bytes} bytes)",
+              flush=True)
 
         t0 = time.time()
         state.verify()
