@@ -25,13 +25,19 @@ import numpy as np
 from ..curves import Affine, CurveCfg, ec_add, ec_mul
 from ..fields import inv
 from ..poseidon.sponge import Protocols, Sponge
-from . import ec, ff, msm as msm_ops
+from . import ec, ecrows, ff, msm as msm_ops, pallas_mont as pk
 from .ec import ECCtx, Point
 from .ff import NLIMBS, U32
 
 
-def _to_affine_one(ctx: ECCtx, P: Point) -> Affine:
-    return ec.to_affine_ints(ctx, tuple(c[None] for c in P))[0]
+def _rows_point_to_affine(p_mod: int, P) -> Affine:
+    """1-lane rows point (quasi-2p projective) -> host affine ints."""
+    limbs = [int(ff.limbs_to_int(np.asarray(c)[:, 0])) for c in P]
+    x, y, z = [v % p_mod for v in limbs]
+    if z == 0:
+        return None
+    zi = pow(z, -1, p_mod)  # Montgomery R factors cancel in x/z, y/z
+    return (x * zi % p_mod, y * zi % p_mod)
 
 
 def _field_dot(fctx, a: jnp.ndarray, b: jnp.ndarray, m: int) -> int:
@@ -45,32 +51,41 @@ def _field_dot(fctx, a: jnp.ndarray, b: jnp.ndarray, m: int) -> int:
     return v % m * pow(1 << 256, -1, m) % m
 
 
-@lru_cache(maxsize=8)
+@lru_cache(maxsize=16)
 def _round_fns(ectx: ECCtx, fctx, P: int):
-    """Fixed-shape jitted halves of one fold round (compiled once per n).
+    """Fixed-shape jitted halves of one fold round (compiled once per
+    shape class).
 
     f1: masked cross dots + the two L/R MSM points (before the transcript).
     f2: fold cs/zs/gs with the round challenge and re-split at the new
         active length a2 (dynamic roll; tail garbage is masked next round).
+
+    The G vectors live in rows layout on the v2 kernels (ops/ecrows.py):
+    the v1 fused-EC pallas bodies embedded ~4000 Mosaic ops per call into
+    the enclosing MLIR, which made these graphs take tens of minutes just
+    to lower at production sizes.
     """
+    mctx = pk.mont_ctx(ectx.p, ectx.b)
 
     def f1(cs_l, cs_r, zs_l, zs_r, gs_l, gs_r, a):
         mask = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) < a
         dl = jnp.where(mask, ff.mont_mul(fctx, cs_r, zs_l), 0)  # summed on host
         dr = jnp.where(mask, ff.mont_mul(fctx, cs_l, zs_r), 0)
         # canonical scalars, zeroed outside the active prefix -> identity
-        sc_r = jnp.where(mask, ff.from_mont(fctx, cs_r), 0)
-        sc_l = jnp.where(mask, ff.from_mont(fctx, cs_l), 0)
-        Lmsm = msm_ops.msm_naive(ectx, gs_l, sc_r)
-        Rmsm = msm_ops.msm_naive(ectx, gs_r, sc_l)
+        sc_r = jnp.transpose(jnp.where(mask, ff.from_mont(fctx, cs_r), 0))
+        sc_l = jnp.transpose(jnp.where(mask, ff.from_mont(fctx, cs_l), 0))
+        Lmsm = ecrows.msm_naive_rows(mctx, gs_l, sc_r)
+        Rmsm = ecrows.msm_naive_rows(mctx, gs_r, sc_l)
         return dl, dr, Lmsm, Rmsm
 
     def f2(cs_l, cs_r, zs_l, zs_r, gs_l, gs_r, a2, xi_mont, xi_inv_mont, xi_limbs):
         cs = ff.add(fctx, cs_l, ff.mont_mul(fctx, cs_r, xi_inv_mont))
         zs = ff.add(fctx, zs_l, ff.mont_mul(fctx, zs_r, xi_mont))
-        gs = ec.add(ectx, gs_l, ec.scalar_mul(ectx, gs_r, xi_limbs))
+        gs = ecrows.padd(
+            mctx, gs_l, ecrows.scalar_mul_rows(mctx, gs_r, xi_limbs[:, None]))
         roll = lambda x: jnp.roll(x, -a2, axis=0)
-        return (cs, roll(cs), zs, roll(zs), gs, tuple(roll(c) for c in gs))
+        rollr = lambda x: jnp.roll(x, -a2, axis=1)
+        return (cs, roll(cs), zs, roll(zs), gs, tuple(rollr(c) for c in gs))
 
     return jax.jit(f1), jax.jit(f2)
 
@@ -107,14 +122,19 @@ def open_without_eval_device(
         zpows[i] = cur
         cur = cur * z % m
     zs = ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array(zpows)))
-    gs = ec.from_limbs_canonical(ectx, pp.gs_x[:n], pp.gs_y[:n])
+    bctx = ff.ctx_for(cfg.p)
+    gx = ff.to_mont_jit(bctx, jnp.asarray(pp.gs_x[:n], U32))
+    gy = ff.to_mont_jit(bctx, jnp.asarray(pp.gs_y[:n], U32))
+    one_rows = jnp.broadcast_to(
+        jnp.asarray(ff.int_to_limbs((1 << 256) % cfg.p), U32)[:, None], (NLIMBS, n))
+    gs = (jnp.transpose(gx), jnp.transpose(gy), one_rows)
 
     P = n // 2
     f1, f2 = _round_fns(ectx, fctx, P)
     cs_l, cs_r = cs[:P], cs[P:]
     zs_l, zs_r = zs[:P], zs[P:]
-    gs_l = tuple(c[:P] for c in gs)
-    gs_r = tuple(c[P:] for c in gs)
+    gs_l = tuple(c[:, :P] for c in gs)
+    gs_r = tuple(c[:, P:] for c in gs)
 
     def exact_sum(prods) -> int:
         from ..plonk.engine import _chunk_sum_jit
@@ -138,16 +158,16 @@ def open_without_eval_device(
             cur_P = a
             cs_l, cs_r = cs_l[:a], cs_r[:a]
             zs_l, zs_r = zs_l[:a], zs_r[:a]
-            gs_l = tuple(c[:a] for c in gs_l)
-            gs_r = tuple(c[:a] for c in gs_r)
+            gs_l = tuple(c[:, :a] for c in gs_l)
+            gs_r = tuple(c[:, :a] for c in gs_r)
             f1, f2 = _round_fns(ectx, fctx, cur_P)
         dl_prods, dr_prods, Lmsm, Rmsm = f1(
             cs_l, cs_r, zs_l, zs_r, gs_l, gs_r, jnp.int32(a)
         )
         dot_l = exact_sum(dl_prods)
         dot_r = exact_sum(dr_prods)
-        Lpt = _to_affine_one(ectx, Lmsm)
-        Rpt = _to_affine_one(ectx, Rmsm)
+        Lpt = _rows_point_to_affine(cfg.p, Lmsm)
+        Rpt = _rows_point_to_affine(cfg.p, Rmsm)
         L = ec_add(cfg, Lpt, ec_mul(cfg, H_prime, dot_l))
         R = ec_add(cfg, Rpt, ec_mul(cfg, H_prime, dot_r))
         Ls.append(L)
@@ -169,6 +189,6 @@ def open_without_eval_device(
             jnp.int32(a), xi_dev, xi_inv_dev, xi_limbs,
         )
 
-    U = _to_affine_one(ectx, tuple(c[0] for c in gs_l))
+    U = _rows_point_to_affine(cfg.p, tuple(c[:, :1] for c in gs_l))
     c_final = ff.array_to_ints(np.asarray(ff.from_mont_jit(fctx, cs_l[:1])))[0]
     return pcdl.EvalProof(Ls=Ls, Rs=Rs, U=U, c=c_final, C_bar=None, w_prime=None)

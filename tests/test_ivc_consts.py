@@ -68,7 +68,9 @@ def test_zero_accumulator_matches_reference(consts, which):
 
     cfg = PALLAS if which == "pallas" else VESTA
     ref = consts[f"acc_0_{which}"]
-    q = acc_mod.zero_accumulator(cfg, ROWS, 1).q
+    # from-scratch path explicitly (zero_accumulator itself now short-
+    # circuits to this very fixture at the production shape)
+    q = acc_mod.prover(cfg, [acc_mod.zero_instance(cfg, ROWS)]).q
 
     assert q.d == ref["d"]
     assert q.C == _pt(ref["C"])
