@@ -1,11 +1,17 @@
 """Runtime configuration (SURVEY §5: promote scattered knobs to a config
 object).
 
-All knobs read the environment once at import; `get_config()` returns the
-singleton, and `describe()` documents every knob.  Modules keep reading
-their module-level constants for hot paths; this object is the single
-authoritative inventory and is what tooling (bench.py, demo scripts) should
-consult.
+This module is the SINGLE read point for every environment knob: the hot
+modules import their module-level constants FROM `get_config()` at import
+time (pcdl.DEVICE_MSM_MIN, hostpoly.NTT_DEVICE_MIN, protocol.
+PROVER_DEVICE_MIN, ec.PALLAS_EC_MIN, ...), so a knob documented here
+cannot drift from what the code reads — pinned by
+tests/test_config.py.
+
+A few tri-state overrides (HALO_TPU_MSM_V2, HALO_TPU_NTT_V2,
+HALO_TPU_WIDE_SCHEDULE, HALO_TPU_NO_NATIVE, HALO_TPU_TIMING) are
+deliberately read per-call at their use site so tests can flip them after
+import; `describe()` lists them for completeness.
 """
 
 from __future__ import annotations
@@ -20,19 +26,19 @@ def _int_env(name: str, default: int) -> int:
 
 @dataclass(frozen=True)
 class HaloConfig:
-    # ---- SRS / protocol shape ----
+    # ---- SRS / protocol shape (compile-time in the reference) ----
     srs_max_n: int = 1 << 20          # N, group/src/consts.rs:1
     constraint_degree_multiplier: int = 8
 
-    # ---- device dispatch thresholds ----
-    device_msm_min: int = field(default_factory=lambda: _int_env("HALO_TPU_DEVICE_MSM_MIN", 512))
+    # ---- device dispatch thresholds (import-time; read via get_config) ----
+    device_msm_min: int = field(default_factory=lambda: _int_env("HALO_TPU_DEVICE_MSM_MIN", 2048))
     device_open_min: int = field(default_factory=lambda: _int_env("HALO_TPU_DEVICE_OPEN_MIN", 4096))
     device_prover_min: int = field(default_factory=lambda: _int_env("HALO_TPU_DEVICE_PROVER_MIN", 16384))
-    ntt_device_min: int = field(default_factory=lambda: _int_env("HALO_TPU_NTT_DEVICE_MIN", 1 << 14))
+    ntt_device_min: int = field(default_factory=lambda: _int_env("HALO_TPU_DEVICE_NTT_MIN", 8192))
+    pallas_ec_min: int = field(default_factory=lambda: _int_env("HALO_TPU_PALLAS_EC_MIN", 256))
+    pallas_ec: bool = field(default_factory=lambda: os.environ.get("HALO_TPU_PALLAS_EC", "1") == "1")
 
     # ---- kernels ----
-    msm_lanes_small: int = 128        # Pippenger lane width below 2^16
-    msm_lanes_large: int = 512        # ... and at/above 2^16
     pallas_ff_block: int = 512        # ops/pallas_ff.py BLK
 
     # ---- parallelism ----
@@ -41,10 +47,22 @@ class HaloConfig:
     # ---- observability ----
     timing: bool = field(default_factory=lambda: bool(os.environ.get("HALO_TPU_TIMING")))
 
+    # env overrides read per-call at their use site (not cached here):
+    PER_CALL_ENV = (
+        "HALO_TPU_MSM_V2",          # ops/msm.py: force v2/v1 kernel tier
+        "HALO_TPU_NTT_V2",          # ops/ntt.py: force rows-layout NTT
+        "HALO_TPU_WIDE_SCHEDULE",   # ops/msm.py: force wide lane schedule
+        "HALO_TPU_NO_NATIVE",       # native/: disable the C++ host tier
+        "HALO_TPU_TIMING",          # utils/timing.py: per-round timers
+        "HALO_TPU_SRS_DIR",         # srs.py: reference .precompute location
+        "HALO_TPU_CACHE",           # srs.py: npz/freeze cache dir
+    )
+
     def describe(self) -> str:
         lines = ["halo_tpu configuration:"]
         for f in fields(self):
             lines.append(f"  {f.name} = {getattr(self, f.name)}")
+        lines.append("  per-call env overrides: " + ", ".join(self.PER_CALL_ENV))
         return "\n".join(lines)
 
 

@@ -36,10 +36,10 @@ def domain_element(m: int, n: int, i: int) -> int:
     return _roots(m, n.bit_length() - 1, False)[i % n]
 
 
-import os
+from .config import get_config
 
 # above this size, route host NTT calls through the device tier
-NTT_DEVICE_MIN = int(os.environ.get("HALO_TPU_DEVICE_NTT_MIN", "8192"))
+NTT_DEVICE_MIN = get_config().ntt_device_min
 
 
 def ntt_host(m: int, vec: list[int], inverse: bool = False) -> list[int]:

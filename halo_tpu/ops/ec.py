@@ -10,7 +10,6 @@ rayon-parallel arkworks point ops, crates/group/src/group.rs:48-56).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -25,8 +24,10 @@ from .ff import NLIMBS, U32, FFCtx
 # Route batched add/double through the fused Pallas kernels on TPU backends
 # (ops/pallas_ec.py) above this flattened batch size; the jnp path stays the
 # reference implementation and the CPU/CI path.
-PALLAS_EC_MIN = int(os.environ.get("HALO_TPU_PALLAS_EC_MIN", "256"))
-_PALLAS_EC_ON = os.environ.get("HALO_TPU_PALLAS_EC", "1") == "1"
+from ..config import get_config
+
+PALLAS_EC_MIN = get_config().pallas_ec_min
+_PALLAS_EC_ON = get_config().pallas_ec
 
 
 def _pallas_batch(*shapes) -> bool:

@@ -59,13 +59,13 @@ def _msm(cfg: CurveCfg, scalars, points) -> Affine:
     return msm_host(cfg, scalars, points)
 
 
-import os
+from .config import get_config
 
 # below this size the native host Pippenger beats device dispatch overhead
 # (v2 device MSM pads to 4096 lanes; native C++ does 2048 points in ~40 ms)
-DEVICE_MSM_MIN = int(os.environ.get("HALO_TPU_DEVICE_MSM_MIN", "2048"))
+DEVICE_MSM_MIN = get_config().device_msm_min
 # minimum n for the device IPA fold loop (ops/ipa.py)
-DEVICE_OPEN_MIN = int(os.environ.get("HALO_TPU_DEVICE_OPEN_MIN", "4096"))
+DEVICE_OPEN_MIN = get_config().device_open_min
 
 
 def _srs_msm(cfg: CurveCfg, scalars: list[int]) -> Affine:

@@ -189,12 +189,19 @@ class Engine:
         n = a.shape[0]
         if n < 1024 or n % 512:
             return ff.mont_inv_jit(self.ctx, a)
-        prefix_inc, suffix_inc = _inout_scans_rows_jit(self.m, a)
+        # zero lanes: substitute 1 before the scan so the total product stays
+        # invertible, zero the outputs after (matches the Fermat ladder's
+        # inv(0) = 0 and keeps pow(t, -1, m) from raising on a degenerate
+        # trace — round-3 advisor finding)
+        is_zero = ff.is_zero(a)
+        a_safe = jnp.where(is_zero[:, None], ff.mont_one(self.ctx, (n,)), a)
+        prefix_inc, suffix_inc = _inout_scans_rows_jit(self.m, a_safe)
         total = prefix_inc[-1]
         t_int = self.to_ints(total[None])[0]
         t_inv = pow(t_int, -1, self.m)
         tinv_dev = self.to_dev([t_inv])[0]
-        return _batch_inv_combine_jit(self.m, a, prefix_inc, suffix_inc, tinv_dev)
+        out = _batch_inv_combine_jit(self.m, a_safe, prefix_inc, suffix_inc, tinv_dev)
+        return jnp.where(is_zero[:, None], 0, out)
 
 
 from functools import partial as _partial

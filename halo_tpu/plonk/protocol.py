@@ -425,10 +425,10 @@ def public_input_eval(m: int, public_inputs, n_scalar, omega, xi, xi_n):
 # ---------------- prover ---------------- #
 
 
-import os
+from ..config import get_config
 
 # route the prover's bulk math through the device tier above this size
-PROVER_DEVICE_MIN = int(os.environ.get("HALO_TPU_DEVICE_PROVER_MIN", "16384"))
+PROVER_DEVICE_MIN = get_config().device_prover_min
 
 
 def naive_prover(
