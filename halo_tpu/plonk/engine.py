@@ -77,7 +77,29 @@ class Engine:
         )
         return self._ntt_maybe_loop(ntt.ntt_jit, padded)
 
+    # Above this many field lanes, route muls through the v2 Pallas rows
+    # kernel: the jnp mont_mul materializes (lanes, 16, 16) outer-product
+    # temporaries, which at the 2^16-row prover's 8n domain is ~16 GB of
+    # HLO temps (observed compile-time HBM OOM on v5e); the rows kernel
+    # streams BLK-lane tiles through VMEM instead.
+    MUL_ROWS_MIN = 1 << 15
+
+    def _rows_route(self, *shapes) -> bool:
+        import os
+
+        env = os.environ.get("HALO_TPU_ENGINE_V2")
+        if env is not None:
+            return env == "1"
+        if jax.default_backend() == "cpu":
+            return False
+        lanes = 1
+        for d in jnp.broadcast_shapes(*shapes)[:-1]:
+            lanes *= d
+        return lanes >= self.MUL_ROWS_MIN
+
     def mul(self, a, b):
+        if self._rows_route(a.shape, jnp.shape(b)):
+            return _mul_rows_jit(self.m, a, jnp.asarray(b))
         return ff.mont_mul_jit(self.ctx, a, b)
 
     def add(self, a, b):
@@ -88,7 +110,7 @@ class Engine:
 
     def scale(self, a, s: int):
         sm = self.to_dev([s % self.m])[0]
-        return ff.mont_mul_jit(self.ctx, a, sm)
+        return self.mul(a, sm)
 
     def rotate(self, evals: jnp.ndarray, k: int) -> jnp.ndarray:
         """shift_left by k positions (row i takes value from row i+k)."""
@@ -107,7 +129,7 @@ class Engine:
         """Evaluate (k, n, 16) coefficient batch at x -> k ints."""
         n = coeffs.shape[-2]
         pw = self.powers(x, n)
-        prods = ff.mont_mul_jit(self.ctx, coeffs, pw)
+        prods = self.mul(coeffs, pw)
         # per-chunk u32-exact partial sums; the (small) cross-chunk sum is
         # finished on host in exact python ints (device u64 is unavailable)
         partial = np.asarray(_chunk_sum_jit(prods), dtype=np.uint64)  # (k, g, 16)
@@ -143,6 +165,7 @@ class Engine:
         and goes through pcdl.commit (which picks native C++ for small n).
         """
         n = coeffs.shape[0]
+        assert n <= d + 1, f"degree bound: {n} coeffs > d+1 = {d + 1}"
         if jax.default_backend() != "cpu" and n >= 2048:
             from ..ops import msm2
 
@@ -234,6 +257,27 @@ def _scan_mul_rows(m: int, x, reverse: bool = False):
         x = pk.mm_rows(mctx, x, shifted)
         sh *= 2
     return x
+
+
+@_partial(jax.jit, static_argnums=0)
+def _mul_rows_jit(m: int, a, b):
+    """Elementwise Montgomery mul on (..., 16) col-layout arrays via the
+    BLK-tiled Pallas rows kernel; bit-identical to ff.mont_mul (both return
+    the canonical residue)."""
+    from ..ops import pallas_mont as pk
+
+    mctx = _mont_ctx_for(m)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    ar = jnp.transpose(jnp.broadcast_to(a, shape).reshape(-1, NLIMBS))
+    br = jnp.transpose(jnp.broadcast_to(b, shape).reshape(-1, NLIMBS))
+    n = ar.shape[1]
+    npad = (-n) % pk.BLK
+    if npad:
+        z = jnp.zeros((NLIMBS, npad), U32)
+        ar = jnp.concatenate([ar, z], axis=1)
+        br = jnp.concatenate([br, z], axis=1)
+    out = pk.canon_rows(mctx, pk.mm_rows(mctx, ar, br))
+    return jnp.transpose(out[:, :n]).reshape(shape)
 
 
 @_partial(jax.jit, static_argnums=0)
