@@ -48,3 +48,27 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", _test_cache or None)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+# XLA:CPU's executable.serialize() SEGFAULTS on some huge limb-arithmetic
+# executables (reproduced: fatal crash in compilation_cache.
+# put_executable_and_time -> executable.serialize() while caching the
+# 2^15-point batched-NTT graph of the 2^12-row device prover — the round-3
+# "deterministic segfault in test_device_prover_matches_host_2k12").  Guard:
+# skip the persistent-cache WRITE when the HLO is oversized; small/medium
+# graphs (the vast majority) still cache.
+_HLO_CACHE_CAP_BYTES = 4 << 20
+_orig_put = _jax_cc.put_executable_and_time
+
+
+def _guarded_put(cache_key, module_name, executable, backend, compile_time):
+    try:
+        hlo_bytes = sum(
+            len(m.as_serialized_hlo_module_proto()) for m in executable.hlo_modules())
+    except Exception:
+        hlo_bytes = 0
+    if hlo_bytes > _HLO_CACHE_CAP_BYTES:
+        return
+    return _orig_put(cache_key, module_name, executable, backend, compile_time)
+
+
+_jax_cc.put_executable_and_time = _guarded_put
