@@ -51,7 +51,11 @@ FOLD_C_BITS = 8
 
 
 def _fold_lanes(n_msm: int) -> int:
-    lanes = min(msm2._choose_lanes(n_msm), n_msm)  # tiny-n tests: R >= 1
+    """Wider lanes than the standalone MSM default: the fold runs 2*lg(n)
+    of these back-to-back, so scan DEPTH (R = n/lanes sequential kernel
+    steps) dominates; R = 32 keeps the per-round latency low while the
+    per-step width (windows * lanes) still tiles fine."""
+    lanes = max(16, min(n_msm // 32, 8192, n_msm))
     assert n_msm % lanes == 0, (n_msm, lanes)
     return lanes
 
@@ -172,9 +176,12 @@ def open_without_eval_device(
     for k in range(1, lg_n + 1):
         h = n >> k
         idxL, idxR, cspL, cspR = _round_indices(n, k)
-        dl_part, dr_part, SL, SR = _round_msms_jit(
+        # ONE host pull for the whole round: through the axon tunnel each
+        # D2H transfer costs real latency, and per-array np.asarray pulls
+        # (2 dot partials + 6 window tensors) made the loop round-trip-bound
+        dl_part, dr_part, SL, SR = jax.device_get(_round_msms_jit(
             mctx, fctx, n, xy_pack, cs, zs, gw, jnp.int32(h),
-            idxL, idxR, cspL, cspR)
+            idxL, idxR, cspL, cspR))
         dot_l = _exact_sum(dl_part, m)
         dot_r = _exact_sum(dr_part, m)
         Lpt = msm2._combine_host(cfg, SL, FOLD_C_BITS)

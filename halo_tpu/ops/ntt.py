@@ -55,6 +55,13 @@ def _ntt_impl(ctx: FFCtx, a: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndar
     n = 1 << log_n
     assert a.shape[-2] == n
     rev, stage_tw, n_inv = _plan(ctx.m, log_n, inverse)
+    if log_n >= 1 and _use_cpu_loop(n):
+        # uniform-shape stage loop (see _ntt_loop_fn): keeps the per-shard
+        # graphs of the distributed NTT small on the XLA:CPU backend
+        return _ntt_loop_core(
+            ctx, log_n, inverse, a, jnp.asarray(rev),
+            jnp.asarray(n_inv if inverse else np.zeros(NLIMBS, np.uint32), U32),
+            jnp.asarray(stage_tw[-1], U32))
     x = a[..., jnp.asarray(rev), :]
     for s in range(1, log_n + 1):
         mlen = 1 << s
@@ -107,6 +114,62 @@ def _ntt_fn(m: int, log_n: int, inverse: bool):
         if inverse:
             x = ff.mont_mul(ctx, x, n_inv)
         return x
+
+    return jax.jit(fn)
+
+
+# ---------------- loop-based CPU path ---------------- #
+#
+# The unrolled _ntt_fn emits log_n full mont_mul graphs; at n >= 2^14 the
+# resulting XLA:CPU executable is large enough to trip three distinct
+# backend defects (reproduced in round 4): backend_compile segfaults after
+# graph accumulation, executable.serialize() segfaults at persistent-cache
+# write, and deserialize_executable segfaults at cache read.  This variant
+# runs the stages as ONE fori_loop body with uniform shapes — the stage-s
+# twiddle is a strided gather into the single full twiddle vector
+# W[j] = w^j (note stage_tw[s-1][j] == W[j << (log_n - s)]) — so the HLO
+# stays tiny regardless of n.  Bit-identical to the unrolled path
+# (same butterflies, same exact Montgomery arithmetic).
+
+CPU_LOOP_NTT_MIN = 1 << 12
+
+
+def _use_cpu_loop(n: int) -> bool:
+    import os
+
+    env = os.environ.get("HALO_TPU_NTT_LOOP")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "cpu" and n >= CPU_LOOP_NTT_MIN
+
+
+def _ntt_loop_core(ctx: FFCtx, log_n: int, inverse: bool, a, rev, n_inv, W):
+    n = 1 << log_n
+    x = a[..., rev, :]
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def stage(s, x):
+        half = jnp.int32(1) << (s - 1)
+        j = iota & (half - 1)
+        tw_idx = j << (jnp.int32(log_n) - s)
+        bit = (iota & half) != 0
+        lo = jnp.take(x, iota & ~half, axis=-2)
+        hi = jnp.take(x, iota | half, axis=-2)
+        t = ff.mont_mul(ctx, hi, jnp.take(W, tw_idx, axis=0))
+        return jnp.where(bit[:, None], ff.sub(ctx, lo, t), ff.add(ctx, lo, t))
+
+    x = jax.lax.fori_loop(1, log_n + 1, stage, x)
+    if inverse:
+        x = ff.mont_mul(ctx, x, n_inv)
+    return x
+
+
+@lru_cache(maxsize=64)
+def _ntt_loop_fn(m: int, log_n: int, inverse: bool):
+    ctx = ff.ctx_for(m)
+
+    def fn(a, rev, n_inv, W):
+        return _ntt_loop_core(ctx, log_n, inverse, a, rev, n_inv, W)
 
     return jax.jit(fn)
 
@@ -193,6 +256,9 @@ def _ntt_dispatch(ctx: FFCtx, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
             return fn(a[None], rev, n_inv, *stage_tw)[0]
         return fn(a, rev, n_inv, *stage_tw)
     rev, stage_tw, n_inv = _plan_device(ctx.m, log_n, inverse)
+    if log_n >= 1 and _use_cpu_loop(n):
+        # stage_tw[-1] is the full vector [w^j for j < n/2]
+        return _ntt_loop_fn(ctx.m, log_n, inverse)(a, rev, n_inv, stage_tw[-1])
     return _ntt_fn(ctx.m, log_n, inverse)(a, rev, n_inv, *stage_tw)
 
 

@@ -49,15 +49,19 @@ jax.config.update("jax_compilation_cache_dir", _test_cache or None)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-# XLA:CPU's executable.serialize() SEGFAULTS on some huge limb-arithmetic
-# executables (reproduced: fatal crash in compilation_cache.
-# put_executable_and_time -> executable.serialize() while caching the
-# 2^15-point batched-NTT graph of the 2^12-row device prover — the round-3
-# "deterministic segfault in test_device_prover_matches_host_2k12").  Guard:
-# skip the persistent-cache WRITE when the HLO is oversized; small/medium
-# graphs (the vast majority) still cache.
+# XLA:CPU's executable serialize/deserialize SEGFAULTS on some huge
+# limb-arithmetic executables (both directions reproduced: a fatal crash in
+# put_executable_and_time -> executable.serialize() caching the 2^15-point
+# batched-NTT graph of the 2^12-row device prover — the round-3
+# "deterministic segfault in test_device_prover_matches_host_2k12" — and a
+# second crash in get_executable_and_time -> deserialize_executable loading
+# a large previously-written entry).  Guard BOTH directions: skip cache
+# WRITES when the HLO is oversized, and treat oversized on-disk entries as
+# cache misses; small/medium graphs (the vast majority) still cache.
 _HLO_CACHE_CAP_BYTES = 4 << 20
+_ENTRY_CACHE_CAP_BYTES = 16 << 20
 _orig_put = _jax_cc.put_executable_and_time
+_orig_get = _jax_cc.get_executable_and_time
 
 
 def _guarded_put(cache_key, module_name, executable, backend, compile_time):
@@ -71,4 +75,14 @@ def _guarded_put(cache_key, module_name, executable, backend, compile_time):
     return _orig_put(cache_key, module_name, executable, backend, compile_time)
 
 
+def _guarded_get(cache_key, compile_options, backend, executable_devices):
+    cache = _jax_cc._get_cache(backend)
+    if cache is not None:
+        entry = cache.get(cache_key)
+        if entry is not None and len(entry) > _ENTRY_CACHE_CAP_BYTES:
+            return None, None
+    return _orig_get(cache_key, compile_options, backend, executable_devices)
+
+
 _jax_cc.put_executable_and_time = _guarded_put
+_jax_cc.get_executable_and_time = _guarded_get

@@ -54,3 +54,32 @@ def test_batched_ntt():
     for k, p in enumerate(polys):
         evals = ff.array_to_ints(np.asarray(ff.from_mont_jit(ctx, out[k])))
         assert evals == [host_eval(p, pow(w, i, FQ_MOD), FQ_MOD) for i in range(n)]
+
+
+def test_loop_ntt_matches_unrolled(monkeypatch):
+    """The uniform-shape fori_loop NTT (CPU path for big n; added after the
+    round-4 XLA:CPU giant-executable segfaults) is bit-identical to the
+    unrolled stage graph, both directions, batched and unbatched."""
+    import random
+
+    import numpy as np
+
+    from halo_tpu.fields import FP_MOD
+    from halo_tpu.ops import ff as ffm
+    from halo_tpu.ops import ntt as nttm
+
+    ctx = ffm.ctx_for(FP_MOD)
+    rng = random.Random(123)
+    n = 1 << 10
+    vals = [rng.randrange(FP_MOD) for _ in range(3 * n)]
+    a = ffm.to_mont_jit(ctx, ffm.ints_to_array(vals).reshape(3, n, 16))
+    for inverse in (False, True):
+        fn = nttm.intt if inverse else nttm.ntt
+        monkeypatch.setenv("HALO_TPU_NTT_LOOP", "0")
+        want = np.asarray(fn(ctx, a))
+        want1 = np.asarray(fn(ctx, a[0]))
+        monkeypatch.setenv("HALO_TPU_NTT_LOOP", "1")
+        got = np.asarray(fn(ctx, a))
+        got1 = np.asarray(fn(ctx, a[0]))
+        assert np.array_equal(got, want)
+        assert np.array_equal(got1, want1)

@@ -56,6 +56,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=14)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--tier", choices=("v1", "v2"), default="v2",
+                    help="v2 (default): per-chip scatter-free signed-digit "
+                         "Pippenger (ops/msm2.py) inside shard_map, window "
+                         "aggregates ring-reduced; v1: the jnp-tier kernels")
     ap.add_argument("--multihost", action="store_true",
                     help="join a jax.distributed cluster (env JAX_COORDINATOR_"
                          "ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID) and run the "
@@ -110,9 +114,23 @@ def main() -> None:
             mesh = multihost.global_data_mesh()
         else:
             mesh = pmesh.data_mesh(d)
-        fn = pmsm.sharded_msm_fn(ctx, mesh, lanes, naive=(n // d < 4096))
+        use_v2 = args.tier == "v2" and not args.multihost
+        if use_v2:
+            from halo_tpu.ops import msm2 as msm2_mod
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            xy_pack, _inf = msm2_mod.pack_points(cfg, pts)
+            fn2 = pmsm.sharded_msm2_fn(cfg, mesh, n // d)
+            sh2 = NamedSharding(mesh, PartitionSpec(None, "data"))
+            xy_sh = jax.device_put(xy_pack, sh2)
+        else:
+            fn = pmsm.sharded_msm_fn(ctx, mesh, lanes, naive=(n // d < 4096))
 
         def run(K):
+            if use_v2:
+                Krows = jnp.transpose(jnp.asarray(K))
+                out_cols = fn2(xy_sh, jax.device_put(Krows, sh2))
+                return jax.device_get(out_cols)
             if args.multihost:
                 # multi-controller: build each host's shard locally
                 from jax.sharding import NamedSharding, PartitionSpec
@@ -145,14 +163,21 @@ def main() -> None:
             times.append(time.time() - t0)
         best = min(times)
 
-        got = ec.to_affine_ints(ctx, tuple(np.asarray(c)[None] for c in out))[0]
+        if use_v2:
+            from halo_tpu.ops import ff as ff_mod
+
+            rows = tuple(np.asarray(c).T.reshape(ff_mod.NLIMBS, -1, 2) for c in out)
+            got = msm2_mod._combine_host(cfg, rows, 8)
+        else:
+            got = ec.to_affine_ints(ctx, tuple(np.asarray(c)[None] for c in out))[0]
         want = native.msm(cfg, k_ints(Ks[args.iters]), pts)
         verified = got == want
 
         if d == 1:
             base_time = best
         eff = base_time / (best * d) if base_time else None
-        row = {"mesh": d, "n": n, "best_s": round(best, 4), "compile_s": round(compile_s, 1),
+        row = {"mesh": d, "n": n, "tier": "v2" if use_v2 else "v1",
+               "best_s": round(best, 4), "compile_s": round(compile_s, 1),
                "points_per_s": round(n / best, 1), "verified": verified,
                "parallel_efficiency_vs_1dev": round(eff, 3) if eff else None}
         results.append(row)
