@@ -169,11 +169,53 @@ def _fsub(a, b, p4c, p2c):
     return out
 
 
-def _mm(a, b, pc, npr, cf, cl):
+def _conv_cmat(x, M, n_out16):
+    """Constant-operand limb convolution ON THE MXU.
+
+    x: (16, B) u32 16-bit limbs (quasi-2p value); M: (n_out8, 32) f32
+    matrix for a fixed multiplicand c, M[k, r] = c8[k - w(r)] over 8-bit
+    limb splits (rows 0..15 of x8 = lo bytes, weight 2^(16i); rows 16..31
+    = hi bytes, weight 2^(16i+8)).  Every f32 MAC is exact: entries
+    <= 255, inputs <= 255, column sums <= 32 * 255^2 < 2^21.  Returns
+    (n_out16, B) u32 base-2^16 columns (< 2^30 — within _ks's carry
+    budget).  Replaces the variable-operand conv (repeat + 256 VPU muls
+    + 512-row split/cast) for the two REDC multiplies whose operand is a
+    per-curve constant (-p^-1 mod R and p) and for small-constant muls
+    (3b): those were ~2/3 of the kernel's VPU work (round-4 ablation:
+    the scan is elementwise-op bound, not MXU/HBM bound)."""
+    x8 = jnp.concatenate([x & 0xFF, x >> 8]).astype(jnp.int32).astype(jnp.float32)
+    out8 = jax.lax.dot_general(
+        M, x8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32).astype(U32)  # (n_out8, B), cols < 2^21
+    n8 = out8.shape[0]
+    pairs = out8.reshape(n8 // 2, 2, x.shape[1])
+    cols = pairs[:, 0, :] + (pairs[:, 1, :] << 8)  # cols < 2^30
+    if n_out16 > n8 // 2:  # e.g. the 33rd (2^512) column of a <2^510 product
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((n_out16 - n8 // 2, x.shape[1]), U32)])
+    return cols
+
+
+def _redc_combine(T, Uc):
+    """Final REDC step shared by _mm/_mm_c: (T + m*p) / R via one combined
+    low-half carry.  T, Uc: (33, B) base-2^16 columns < 2^30."""
+    lo_sum = T[:NLIMBS] + Uc[:NLIMBS]  # columns < 2^31
+    carry = _ks(lo_sum, NLIMBS + 1)[NLIMBS]  # value(lo_sum) >> 256
+    high = T[NLIMBS:] + Uc[NLIMBS:]
+    high = jnp.concatenate([(high[0] + carry)[None], high[1:]])
+    return _ks(high, NLIMBS)  # (T + U)/R < 2p + eps < 2^256
+
+
+def _mm(a, b, cf, m_npr, m_p):
     """Montgomery product a*b*R^{-1} on (16, B) tiles, quasi-2p domain.
 
     Separated-operand REDC (same algorithm as ops/ff.py:mont_mul) without
-    the final conditional subtraction."""
+    the final conditional subtraction.  Only the a*b convolution is
+    variable-variable; the m = T*(-p^-1) mod R and m*p multiplies go
+    through the constant-matrix MXU path (_conv_cmat)."""
     B = a.shape[1]
 
     def conv(x, y, mat, rows_out):
@@ -191,28 +233,31 @@ def _mm(a, b, pc, npr, cf, cl):
 
     T = conv(a, b, cf, 2 * NLIMBS + 1)  # (33, B) columns < 2^21
     t_low = _ks(T[:NLIMBS], NLIMBS)  # T mod R (canonical limbs)
-    m = _ks(conv(t_low, npr, cl, NLIMBS), NLIMBS)  # (T mod R)(-p^-1) mod R
-    Uc = conv(m, pc, cf, 2 * NLIMBS + 1)  # m*p columns
-    # Combined low-half carry: carry_t + carry_u + cross in one pass.
-    lo_sum = T[:NLIMBS] + Uc[:NLIMBS]  # columns < 2^22
-    carry = _ks(lo_sum, NLIMBS + 1)[NLIMBS]  # value(lo_sum) >> 256 (< 2^8)
-    high = T[NLIMBS:] + Uc[NLIMBS:]  # (17, B) columns < 2^22
-    high = jnp.concatenate([(high[0] + carry)[None], high[1:]])
-    return _ks(high, NLIMBS)  # (T + U)/R < 2p + eps < 2^256
+    m = _ks(_conv_cmat(t_low, m_npr, NLIMBS), NLIMBS)  # (T mod R)(-p^-1) mod R
+    Uc = _conv_cmat(m, m_p, 2 * NLIMBS + 1)  # m*p columns
+    return _redc_combine(T, Uc)
+
+
+def _mm_c(x, m_c, m_npr, m_p):
+    """Montgomery product of a CONSTANT c (as matrix m_c) by x: all three
+    REDC multiplies ride the MXU."""
+    T = _conv_cmat(x, m_c, 2 * NLIMBS + 1)
+    t_low = _ks(T[:NLIMBS], NLIMBS)
+    m = _ks(_conv_cmat(t_low, m_npr, NLIMBS), NLIMBS)
+    Uc = _conv_cmat(m, m_p, 2 * NLIMBS + 1)
+    return _redc_combine(T, Uc)
 
 
 # ---------------- kernels ---------------- #
 
 
-def _mm_kernel(a_ref, b_ref, p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref, o_ref):
+def _mm_kernel(a_ref, b_ref, p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref, o_ref):
     B = a_ref.shape[1]
-    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
-    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
-    o_ref[:] = _mm(a_ref[:], b_ref[:], pc, npr, cf_ref[:], cl_ref[:])
+    o_ref[:] = _mm(a_ref[:], b_ref[:], cf_ref[:], mnpr_ref[:], mp_ref[:])
 
 
 def _padd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r, z2_r,
-                 p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
                  x3_r, y3_r, z3_r):
     """Complete projective add, a=0 (RCB alg. 7) in the quasi-2p domain.
     Mirrors ops/ec.py:add (reference semantics: arkworks Projective +)."""
@@ -220,13 +265,14 @@ def _padd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r, z2_r,
     pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
     p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
     p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
-    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
-    b3 = jnp.broadcast_to(b3_ref[:], (NLIMBS, B))
     cf = cf_ref[:]
-    cl = cl_ref[:]
+    mnpr, mp, mb3 = mnpr_ref[:], mp_ref[:], mb3_ref[:]
 
     def mm(a, b):
-        return _mm(a, b, pc, npr, cf, cl)
+        return _mm(a, b, cf, mnpr, mp)
+
+    def mm_b3(x):
+        return _mm_c(x, mb3, mnpr, mp)
 
     def fadd(a, b):
         return _fadd(a, b, p2c)
@@ -244,10 +290,10 @@ def _padd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r, z2_r,
     t4 = fsub(mm(fadd(Y1, Z1), fadd(Y2, Z2)), fadd(t1, t2))
     Y3 = fsub(mm(fadd(X1, Z1), fadd(X2, Z2)), fadd(t0, t2))
     t0 = fadd(fadd(t0, t0), t0)
-    t2 = mm(b3, t2)
+    t2 = mm_b3(t2)
     Z3 = fadd(t1, t2)
     t1 = fsub(t1, t2)
-    Y3 = mm(b3, Y3)
+    Y3 = mm_b3(Y3)
     X3 = fsub(mm(t3, t1), mm(t4, Y3))
     Y3n = fadd(mm(t1, Z3), mm(Y3, t0))
     Z3n = fadd(mm(Z3, t4), mm(t0, t3))
@@ -258,7 +304,7 @@ def _padd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r, z2_r,
 
 
 def _pmadd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r,
-                  p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                  p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
                   x3_r, y3_r, z3_r):
     """Complete mixed add (Z2 = 1), 13 muls: alg. 7 with the Z2=1
     simplifications t2 = Z1, t4 = Y1 + Z1*y2, Y3tmp = X1 + Z1*x2.
@@ -267,13 +313,14 @@ def _pmadd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r,
     pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
     p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
     p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
-    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
-    b3 = jnp.broadcast_to(b3_ref[:], (NLIMBS, B))
     cf = cf_ref[:]
-    cl = cl_ref[:]
+    mnpr, mp, mb3 = mnpr_ref[:], mp_ref[:], mb3_ref[:]
 
     def mm(a, b):
-        return _mm(a, b, pc, npr, cf, cl)
+        return _mm(a, b, cf, mnpr, mp)
+
+    def mm_b3(x):
+        return _mm_c(x, mb3, mnpr, mp)
 
     def fadd(a, b):
         return _fadd(a, b, p2c)
@@ -290,10 +337,10 @@ def _pmadd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r,
     t4 = fadd(Y1, mm(Z1, y2))
     t5 = fadd(X1, mm(Z1, x2))  # alg-7 "Y3" pre-b3
     t0 = fadd(fadd(t0, t0), t0)
-    t2 = mm(b3, Z1)
+    t2 = mm_b3(Z1)
     Z3 = fadd(t1, t2)
     t1 = fsub(t1, t2)
-    t5 = mm(b3, t5)
+    t5 = mm_b3(t5)
     X3 = fsub(mm(t3, t1), mm(t4, t5))
     Y3 = fadd(mm(t1, Z3), mm(t5, t0))
     Z3n = fadd(mm(Z3, t4), mm(t0, t3))
@@ -304,7 +351,7 @@ def _pmadd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r,
 
 
 def _pmadd_pack_kernel(x1_r, y1_r, z1_r, pack_r, sign_r,
-                       p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                       p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
                        x3_r, y3_r, z3_r):
     """Mixed add with a packed affine operand: pack rows hold
     x_limb | (y_limb << 16) (canonical Montgomery limbs), sign (1, B)
@@ -314,10 +361,8 @@ def _pmadd_pack_kernel(x1_r, y1_r, z1_r, pack_r, sign_r,
     pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
     p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
     p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
-    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
-    b3 = jnp.broadcast_to(b3_ref[:], (NLIMBS, B))
     cf = cf_ref[:]
-    cl = cl_ref[:]
+    mnpr, mp, mb3 = mnpr_ref[:], mp_ref[:], mb3_ref[:]
 
     pack = pack_r[:]
     x2 = pack & MASK
@@ -328,7 +373,10 @@ def _pmadd_pack_kernel(x1_r, y1_r, z1_r, pack_r, sign_r,
     y2 = jnp.where(sign_r[:] != 0, py, y0)
 
     def mm(a, b):
-        return _mm(a, b, pc, npr, cf, cl)
+        return _mm(a, b, cf, mnpr, mp)
+
+    def mm_b3(x):
+        return _mm_c(x, mb3, mnpr, mp)
 
     def fadd(a, b):
         return _fadd(a, b, p2c)
@@ -344,10 +392,10 @@ def _pmadd_pack_kernel(x1_r, y1_r, z1_r, pack_r, sign_r,
     t4 = fadd(Y1, mm(Z1, y2))
     t5 = fadd(X1, mm(Z1, x2))
     t0 = fadd(fadd(t0, t0), t0)
-    t2 = mm(b3, Z1)
+    t2 = mm_b3(Z1)
     Z3 = fadd(t1, t2)
     t1 = fsub(t1, t2)
-    t5 = mm(b3, t5)
+    t5 = mm_b3(t5)
     X3 = fsub(mm(t3, t1), mm(t4, t5))
     Y3 = fadd(mm(t1, Z3), mm(t5, t0))
     Z3n = fadd(mm(Z3, t4), mm(t0, t3))
@@ -358,20 +406,21 @@ def _pmadd_pack_kernel(x1_r, y1_r, z1_r, pack_r, sign_r,
 
 
 def _pdbl_kernel(x_r, y_r, z_r,
-                 p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
                  x3_r, y3_r, z3_r):
     """Complete doubling, a=0 (RCB alg. 9); mirrors ops/ec.py:double."""
     B = x_r.shape[1]
     pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
     p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
     p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
-    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
-    b3 = jnp.broadcast_to(b3_ref[:], (NLIMBS, B))
     cf = cf_ref[:]
-    cl = cl_ref[:]
+    mnpr, mp, mb3 = mnpr_ref[:], mp_ref[:], mb3_ref[:]
 
     def mm(a, b):
-        return _mm(a, b, pc, npr, cf, cl)
+        return _mm(a, b, cf, mnpr, mp)
+
+    def mm_b3(x):
+        return _mm_c(x, mb3, mnpr, mp)
 
     def fadd(a, b):
         return _fadd(a, b, p2c)
@@ -387,7 +436,7 @@ def _pdbl_kernel(x_r, y_r, z_r,
     Z3 = fadd(Z3, Z3)
     t1 = mm(Y, Z)
     t2 = mm(Z, Z)
-    t2 = mm(b3, t2)
+    t2 = mm_b3(t2)
     X3 = mm(t2, Z3)
     Y3 = fadd(t0, t2)
     Z3 = mm(t1, Z3)
@@ -406,7 +455,7 @@ def _pdbl_kernel(x_r, y_r, z_r,
 
 
 def _bfly_kernel(e_ref, o_ref, t_ref,
-                 p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
                  e3_r, o3_r):
     """Radix-2 NTT butterfly: (e, o, w) -> (e + w*o, e - w*o), quasi-2p
     domain (one canon pass at the end of the transform, never per stage).
@@ -415,25 +464,21 @@ def _bfly_kernel(e_ref, o_ref, t_ref,
     B = e_ref.shape[1]
     p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
     p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
-    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
-    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
-    t = _mm(o_ref[:], t_ref[:], pc, npr, cf_ref[:], cl_ref[:])
+    t = _mm(o_ref[:], t_ref[:], cf_ref[:], mnpr_ref[:], mp_ref[:])
     e3_r[:] = _fadd(e_ref[:], t, p2c)
     o3_r[:] = _fsub(e_ref[:], t, p4c, p2c)
 
 
 def _mulc_kernel(a_ref, c_ref,
-                 p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
                  o_ref):
     """a * c (both (16, B); c typically a broadcast constant row)."""
     B = a_ref.shape[1]
-    pc = jnp.broadcast_to(p_ref[:], (NLIMBS, B))
-    npr = jnp.broadcast_to(npr_ref[:], (NLIMBS, B))
-    o_ref[:] = _mm(a_ref[:], c_ref[:], pc, npr, cf_ref[:], cl_ref[:])
+    o_ref[:] = _mm(a_ref[:], c_ref[:], cf_ref[:], mnpr_ref[:], mp_ref[:])
 
 
 def _canon_kernel(a_ref,
-                  p_ref, p2_ref, p4_ref, npr_ref, b3_ref, cf_ref, cl_ref,
+                  p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
                   o_ref):
     """Quasi-2p -> canonical [0, p): conditional subtract of 2p then p."""
     B = a_ref.shape[1]
@@ -459,6 +504,19 @@ _KERNELS = {
 # ---------------- host-facing wrappers ---------------- #
 
 
+def _cmat(c_int: int, n_out8: int) -> np.ndarray:
+    """(n_out8, 32) f32 constant-convolution matrix for _conv_cmat."""
+    c8 = [(c_int >> (8 * s)) & 0xFF for s in range(n_out8)]
+    M = np.zeros((n_out8, 2 * NLIMBS), np.float32)
+    for r in range(2 * NLIMBS):
+        w = 2 * (r % NLIMBS) + (r // NLIMBS)
+        for k in range(n_out8):
+            s = k - w
+            if 0 <= s < n_out8 and c8[s]:
+                M[k, r] = float(c8[s])
+    return np.ascontiguousarray(M)
+
+
 class MontCtx:
     """Per-curve constants for the v2 kernels (hashable static arg)."""
 
@@ -469,10 +527,18 @@ class MontCtx:
         self.p2_rows = np.ascontiguousarray(int_to_limbs(2 * p)[:, None].astype(np.uint32))
         p4 = np.frombuffer(int(4 * p).to_bytes(34, "little"), dtype="<u2").astype(np.uint32)
         self.p4_rows = np.ascontiguousarray(p4[:17, None])
+        npr_int = pow(p, -1, 1 << 256) * -1 % (1 << 256)
+        b3_int = 3 * b * (1 << 256) % p
         self.npr_rows = np.ascontiguousarray(
-            int_to_limbs(pow(p, -1, 1 << 256) * -1 % (1 << 256))[:, None].astype(np.uint32))
+            int_to_limbs(npr_int)[:, None].astype(np.uint32))
         self.b3_rows = np.ascontiguousarray(
-            int_to_limbs(3 * b * (1 << 256) % p)[:, None].astype(np.uint32))
+            int_to_limbs(b3_int)[:, None].astype(np.uint32))
+        # constant-operand convolution matrices for the MXU REDC path
+        # (_conv_cmat): M[k, r] = c8[k - w(r)], w(r) the base-2^8 weight of
+        # input row r (rows 0..15 lo bytes, 16..31 hi bytes)
+        self.m_npr = _cmat(npr_int, 32)   # (T mod R) * npr, low half only
+        self.m_p = _cmat(p, 64)           # m * p, full product
+        self.m_b3 = _cmat(b3_int, 64)     # 3b * x, full product
 
     def __hash__(self):
         return hash((self.p, self.b))
@@ -505,16 +571,15 @@ def _build_call(ctx: MontCtx, kind: str, n: int, interpret: bool):
         kernel,
         grid=(grid,),
         in_specs=[blk(r) for r in in_rows]
-        + [whole((NLIMBS, 1)), whole((NLIMBS, 1)), whole((NLIMBS + 1, 1)),
-           whole((NLIMBS, 1)), whole((NLIMBS, 1))]
-        + [whole(_CF.shape), whole(_CL.shape)],
+        + [whole((NLIMBS, 1)), whole((NLIMBS, 1)), whole((NLIMBS + 1, 1))]
+        + [whole(_CF.shape), whole((32, 32)), whole((64, 32)), whole((64, 32))],
         out_specs=[blk() for _ in range(n_out)] if n_out > 1 else blk(),
         out_shape=[jax.ShapeDtypeStruct((NLIMBS, n), U32) for _ in range(n_out)]
         if n_out > 1 else jax.ShapeDtypeStruct((NLIMBS, n), U32),
         interpret=interpret,
     )
-    consts = (ctx.p_rows, ctx.p2_rows, ctx.p4_rows, ctx.npr_rows, ctx.b3_rows,
-              np.ascontiguousarray(_CF), np.ascontiguousarray(_CL))
+    consts = (ctx.p_rows, ctx.p2_rows, ctx.p4_rows,
+              np.ascontiguousarray(_CF), ctx.m_npr, ctx.m_p, ctx.m_b3)
 
     def fn(*data):
         return call(*data, *consts)
