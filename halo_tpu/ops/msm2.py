@@ -221,6 +221,34 @@ def _bisect_right2(keys_sorted: jnp.ndarray, queries: jnp.ndarray, n: int):
     return lo
 
 
+def _bucket_cum_counts(keys, windows: int, dmax: int, n: int):
+    """cnt[w, d] = #{i : keys[w, i] <= d} for d in [0, dmax] — the bucket
+    boundary positions — via a hi-byte/lo-byte one-hot MXU histogram +
+    cumsum.  Replaces the vectorized bisection (round-4 on-chip ablation:
+    140 ms -> 34 ms at n=2^20, c=16).  Exact: counts <= n < 2^24 in f32;
+    one-hot entries are 0/1 so bf16 MXU passes are exact too."""
+    assert n < (1 << 24)
+    n_hi = (dmax >> 8) + 1
+    chunk = min(n, 1 << 16)
+    hi_ar = jnp.arange(n_hi, dtype=U32)
+    lo_ar = jnp.arange(256, dtype=U32)
+    counts = jnp.zeros((windows, n_hi * 256), jnp.float32)
+    for c0 in range(0, n, chunk):
+        kc = keys[:, c0:c0 + chunk]
+        acc = []
+        for w in range(windows):
+            hi = kc[w] >> 8
+            lo = kc[w] & 255
+            A = (hi[None, :] == hi_ar[:, None]).astype(jnp.float32)
+            Bm = (lo[None, :] == lo_ar[:, None]).astype(jnp.float32)
+            cg = jax.lax.dot_general(A, Bm, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc.append(cg.reshape(-1))
+        counts = counts + jnp.stack(acc)
+    cum = jnp.cumsum(counts, axis=1)
+    return cum[:, :dmax + 1].astype(jnp.int32)
+
+
 def _identity_rows(mctx: pk.MontCtx, shape):
     r1 = ff.int_to_limbs((1 << 256) % mctx.p)
     X = jnp.zeros((NLIMBS, *shape), U32)
@@ -332,11 +360,9 @@ def _msm2_device(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int,
     T = tuple(c.reshape(NLIMBS, windows, L) for c in accT)
     Lx = _excl_prefix(mctx, T, L)  # (16, W, L)
 
-    # bucket boundary positions: r_d = (# keys <= d) - 1 for d = 0..dmax.
-    # Two-level search: coarse brackets at stride 64, then each query
-    # refines inside an n/? bracket via masked bisection on [lo0, hi0).
-    qs = jnp.arange(dmax + 1, dtype=U32)
-    cnt = _bisect_right2(keys_s, qs, n)  # (W, dmax+1)
+    # bucket boundary positions: r_d = (# keys <= d) - 1 for d = 0..dmax,
+    # via the one-hot MXU histogram (sorted or not — counts are the same)
+    cnt = _bucket_cum_counts(keys_s, windows, dmax, n)  # (W, dmax+1)
     r = cnt - 1
     valid = r >= 0
     rc = jnp.maximum(r, 0)

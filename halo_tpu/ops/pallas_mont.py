@@ -169,7 +169,7 @@ def _fsub(a, b, p4c, p2c):
     return out
 
 
-def _conv_cmat(x, M, n_out16):
+def _conv_cmat(x, M, n_out16, n_bytes=2):
     """Constant-operand limb convolution ON THE MXU.
 
     x: (16, B) u32 16-bit limbs (quasi-2p value); M: (n_out8, 32) f32
@@ -183,7 +183,8 @@ def _conv_cmat(x, M, n_out16):
     per-curve constant (-p^-1 mod R and p) and for small-constant muls
     (3b): those were ~2/3 of the kernel's VPU work (round-4 ablation:
     the scan is elementwise-op bound, not MXU/HBM bound)."""
-    x8 = jnp.concatenate([x & 0xFF, x >> 8]).astype(jnp.int32).astype(jnp.float32)
+    bs = [x & 0xFF, (x >> 8) & 0xFF, (x >> 16) & 0xFF, x >> 24][:n_bytes]
+    x8 = jnp.concatenate(bs).astype(jnp.int32).astype(jnp.float32)
     out8 = jax.lax.dot_general(
         M, x8,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -232,18 +233,19 @@ def _mm(a, b, cf, m_npr, m_p):
         return out[:rows_out].astype(jnp.int32).astype(U32)
 
     T = conv(a, b, cf, 2 * NLIMBS + 1)  # (33, B) columns < 2^21
-    t_low = _ks(T[:NLIMBS], NLIMBS)  # T mod R (canonical limbs)
-    m = _ks(_conv_cmat(t_low, m_npr, NLIMBS), NLIMBS)  # (T mod R)(-p^-1) mod R
+    # the npr matrix takes T's REDUNDANT low columns directly (3-byte
+    # split): value(T[:16] cols) == T (mod R), which is all m needs
+    m = _ks(_conv_cmat(T[:NLIMBS], m_npr, NLIMBS, 3), NLIMBS)
     Uc = _conv_cmat(m, m_p, 2 * NLIMBS + 1)  # m*p columns
     return _redc_combine(T, Uc)
 
 
-def _mm_c(x, m_c, m_npr, m_p):
+def _mm_c(x, m_c, m_npr4, m_p):
     """Montgomery product of a CONSTANT c (as matrix m_c) by x: all three
-    REDC multiplies ride the MXU."""
+    REDC multiplies ride the MXU.  T's columns are < 2^30, so the npr
+    stage uses the 4-byte split matrix."""
     T = _conv_cmat(x, m_c, 2 * NLIMBS + 1)
-    t_low = _ks(T[:NLIMBS], NLIMBS)
-    m = _ks(_conv_cmat(t_low, m_npr, NLIMBS), NLIMBS)
+    m = _ks(_conv_cmat(T[:NLIMBS], m_npr4, NLIMBS, 4), NLIMBS)
     Uc = _conv_cmat(m, m_p, 2 * NLIMBS + 1)
     return _redc_combine(T, Uc)
 
@@ -251,13 +253,13 @@ def _mm_c(x, m_c, m_npr, m_p):
 # ---------------- kernels ---------------- #
 
 
-def _mm_kernel(a_ref, b_ref, p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref, o_ref):
+def _mm_kernel(a_ref, b_ref, p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mnpr4_ref, mp_ref, mb3_ref, o_ref):
     B = a_ref.shape[1]
     o_ref[:] = _mm(a_ref[:], b_ref[:], cf_ref[:], mnpr_ref[:], mp_ref[:])
 
 
 def _padd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r, z2_r,
-                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
+                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mnpr4_ref, mp_ref, mb3_ref,
                  x3_r, y3_r, z3_r):
     """Complete projective add, a=0 (RCB alg. 7) in the quasi-2p domain.
     Mirrors ops/ec.py:add (reference semantics: arkworks Projective +)."""
@@ -266,13 +268,13 @@ def _padd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r, z2_r,
     p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
     p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
     cf = cf_ref[:]
-    mnpr, mp, mb3 = mnpr_ref[:], mp_ref[:], mb3_ref[:]
+    mnpr, mnpr4, mp, mb3 = mnpr_ref[:], mnpr4_ref[:], mp_ref[:], mb3_ref[:]
 
     def mm(a, b):
         return _mm(a, b, cf, mnpr, mp)
 
     def mm_b3(x):
-        return _mm_c(x, mb3, mnpr, mp)
+        return _mm_c(x, mb3, mnpr4, mp)
 
     def fadd(a, b):
         return _fadd(a, b, p2c)
@@ -304,7 +306,7 @@ def _padd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r, z2_r,
 
 
 def _pmadd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r,
-                  p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
+                  p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mnpr4_ref, mp_ref, mb3_ref,
                   x3_r, y3_r, z3_r):
     """Complete mixed add (Z2 = 1), 13 muls: alg. 7 with the Z2=1
     simplifications t2 = Z1, t4 = Y1 + Z1*y2, Y3tmp = X1 + Z1*x2.
@@ -314,13 +316,13 @@ def _pmadd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r,
     p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
     p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
     cf = cf_ref[:]
-    mnpr, mp, mb3 = mnpr_ref[:], mp_ref[:], mb3_ref[:]
+    mnpr, mnpr4, mp, mb3 = mnpr_ref[:], mnpr4_ref[:], mp_ref[:], mb3_ref[:]
 
     def mm(a, b):
         return _mm(a, b, cf, mnpr, mp)
 
     def mm_b3(x):
-        return _mm_c(x, mb3, mnpr, mp)
+        return _mm_c(x, mb3, mnpr4, mp)
 
     def fadd(a, b):
         return _fadd(a, b, p2c)
@@ -351,7 +353,7 @@ def _pmadd_kernel(x1_r, y1_r, z1_r, x2_r, y2_r,
 
 
 def _pmadd_pack_kernel(x1_r, y1_r, z1_r, pack_r, sign_r,
-                       p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
+                       p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mnpr4_ref, mp_ref, mb3_ref,
                        x3_r, y3_r, z3_r):
     """Mixed add with a packed affine operand: pack rows hold
     x_limb | (y_limb << 16) (canonical Montgomery limbs), sign (1, B)
@@ -362,7 +364,7 @@ def _pmadd_pack_kernel(x1_r, y1_r, z1_r, pack_r, sign_r,
     p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
     p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
     cf = cf_ref[:]
-    mnpr, mp, mb3 = mnpr_ref[:], mp_ref[:], mb3_ref[:]
+    mnpr, mnpr4, mp, mb3 = mnpr_ref[:], mnpr4_ref[:], mp_ref[:], mb3_ref[:]
 
     pack = pack_r[:]
     x2 = pack & MASK
@@ -376,7 +378,7 @@ def _pmadd_pack_kernel(x1_r, y1_r, z1_r, pack_r, sign_r,
         return _mm(a, b, cf, mnpr, mp)
 
     def mm_b3(x):
-        return _mm_c(x, mb3, mnpr, mp)
+        return _mm_c(x, mb3, mnpr4, mp)
 
     def fadd(a, b):
         return _fadd(a, b, p2c)
@@ -406,7 +408,7 @@ def _pmadd_pack_kernel(x1_r, y1_r, z1_r, pack_r, sign_r,
 
 
 def _pdbl_kernel(x_r, y_r, z_r,
-                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
+                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mnpr4_ref, mp_ref, mb3_ref,
                  x3_r, y3_r, z3_r):
     """Complete doubling, a=0 (RCB alg. 9); mirrors ops/ec.py:double."""
     B = x_r.shape[1]
@@ -414,13 +416,13 @@ def _pdbl_kernel(x_r, y_r, z_r,
     p2c = jnp.broadcast_to(p2_ref[:], (NLIMBS, B))
     p4c = jnp.broadcast_to(p4_ref[:], (NLIMBS + 1, B))
     cf = cf_ref[:]
-    mnpr, mp, mb3 = mnpr_ref[:], mp_ref[:], mb3_ref[:]
+    mnpr, mnpr4, mp, mb3 = mnpr_ref[:], mnpr4_ref[:], mp_ref[:], mb3_ref[:]
 
     def mm(a, b):
         return _mm(a, b, cf, mnpr, mp)
 
     def mm_b3(x):
-        return _mm_c(x, mb3, mnpr, mp)
+        return _mm_c(x, mb3, mnpr4, mp)
 
     def fadd(a, b):
         return _fadd(a, b, p2c)
@@ -455,7 +457,7 @@ def _pdbl_kernel(x_r, y_r, z_r,
 
 
 def _bfly_kernel(e_ref, o_ref, t_ref,
-                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
+                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mnpr4_ref, mp_ref, mb3_ref,
                  e3_r, o3_r):
     """Radix-2 NTT butterfly: (e, o, w) -> (e + w*o, e - w*o), quasi-2p
     domain (one canon pass at the end of the transform, never per stage).
@@ -470,7 +472,7 @@ def _bfly_kernel(e_ref, o_ref, t_ref,
 
 
 def _mulc_kernel(a_ref, c_ref,
-                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
+                 p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mnpr4_ref, mp_ref, mb3_ref,
                  o_ref):
     """a * c (both (16, B); c typically a broadcast constant row)."""
     B = a_ref.shape[1]
@@ -478,7 +480,7 @@ def _mulc_kernel(a_ref, c_ref,
 
 
 def _canon_kernel(a_ref,
-                  p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mp_ref, mb3_ref,
+                  p_ref, p2_ref, p4_ref, cf_ref, mnpr_ref, mnpr4_ref, mp_ref, mb3_ref,
                   o_ref):
     """Quasi-2p -> canonical [0, p): conditional subtract of 2p then p."""
     B = a_ref.shape[1]
@@ -504,11 +506,13 @@ _KERNELS = {
 # ---------------- host-facing wrappers ---------------- #
 
 
-def _cmat(c_int: int, n_out8: int) -> np.ndarray:
-    """(n_out8, 32) f32 constant-convolution matrix for _conv_cmat."""
+def _cmat(c_int: int, n_out8: int, n_bytes: int = 2) -> np.ndarray:
+    """(n_out8, 16*n_bytes) f32 constant-convolution matrix for
+    _conv_cmat: input row b*16+i carries byte b of limb i, weight
+    2^(16i+8b)."""
     c8 = [(c_int >> (8 * s)) & 0xFF for s in range(n_out8)]
-    M = np.zeros((n_out8, 2 * NLIMBS), np.float32)
-    for r in range(2 * NLIMBS):
+    M = np.zeros((n_out8, n_bytes * NLIMBS), np.float32)
+    for r in range(n_bytes * NLIMBS):
         w = 2 * (r % NLIMBS) + (r // NLIMBS)
         for k in range(n_out8):
             s = k - w
@@ -536,9 +540,10 @@ class MontCtx:
         # constant-operand convolution matrices for the MXU REDC path
         # (_conv_cmat): M[k, r] = c8[k - w(r)], w(r) the base-2^8 weight of
         # input row r (rows 0..15 lo bytes, 16..31 hi bytes)
-        self.m_npr = _cmat(npr_int, 32)   # (T mod R) * npr, low half only
-        self.m_p = _cmat(p, 64)           # m * p, full product
-        self.m_b3 = _cmat(b3_int, 64)     # 3b * x, full product
+        self.m_npr = _cmat(npr_int, 32, 3)   # T_lo(redundant) * npr, low half
+        self.m_npr4 = _cmat(npr_int, 32, 4)  # same, 4-byte split (mm_c)
+        self.m_p = _cmat(p, 64)              # m * p, full product
+        self.m_b3 = _cmat(b3_int, 64)        # 3b * x, full product
 
     def __hash__(self):
         return hash((self.p, self.b))
@@ -572,14 +577,16 @@ def _build_call(ctx: MontCtx, kind: str, n: int, interpret: bool):
         grid=(grid,),
         in_specs=[blk(r) for r in in_rows]
         + [whole((NLIMBS, 1)), whole((NLIMBS, 1)), whole((NLIMBS + 1, 1))]
-        + [whole(_CF.shape), whole((32, 32)), whole((64, 32)), whole((64, 32))],
+        + [whole(_CF.shape), whole((32, 48)), whole((32, 64)),
+           whole((64, 32)), whole((64, 32))],
         out_specs=[blk() for _ in range(n_out)] if n_out > 1 else blk(),
         out_shape=[jax.ShapeDtypeStruct((NLIMBS, n), U32) for _ in range(n_out)]
         if n_out > 1 else jax.ShapeDtypeStruct((NLIMBS, n), U32),
         interpret=interpret,
     )
     consts = (ctx.p_rows, ctx.p2_rows, ctx.p4_rows,
-              np.ascontiguousarray(_CF), ctx.m_npr, ctx.m_p, ctx.m_b3)
+              np.ascontiguousarray(_CF), ctx.m_npr, ctx.m_npr4,
+              ctx.m_p, ctx.m_b3)
 
     def fn(*data):
         return call(*data, *consts)
