@@ -321,28 +321,49 @@ def _excl_prefix(mctx, T, L: int):
     return E
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _msm2_device(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int,
-                 xy_pack: jnp.ndarray, K_rows: jnp.ndarray):
-    """Full device pipeline; returns Q points at the dmax+1 bucket-boundary
-    prefixes per window, reduced to (16, W, 1 + 1): [sum_{d<dmax} Q_d, Q_top]."""
-    windows, dmax = _cfg_for_c(c_bits)
-    L = lanes
-    R = n // L
-    F = windows * L
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _msm2_multi(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int, skip: int,
+                xy_pack: jnp.ndarray, K_multi: jnp.ndarray):
+    """Batched full device pipeline: K_multi (k, 16, n) canonical scalar
+    rows, ONE sort/gather/scan/aggregate dispatch for all k MSMs over the
+    SAME point pack (their windows simply stack: kW total).  Returns
+    (16, k*W, 2) aggregates [sum_{d<dmax} Q_d, Q_top] per window.
 
-    keys, signs = _recode_signed(K_rows, c_bits)  # (W, n)
-    idx = jnp.broadcast_to(jnp.arange(n, dtype=U32)[None, :], (windows, n))
+    `skip` (static): drop the first `skip` sorted lanes of every window
+    before the scan.  Callers must guarantee >= skip zero-digit lanes per
+    window (e.g. the IPA fold's masked halves: every window of a scalar
+    vector that is zero outside an n/2 support has >= n/2 zero keys, which
+    sort to the front).  This makes an L/R fold round ONE half-work
+    dispatch instead of two compacted MSMs with index gathers."""
+    windows, dmax = _cfg_for_c(c_bits)
+    k = K_multi.shape[0]
+    W2 = k * windows
+    n_live = n - skip
+    L = lanes
+    R = n_live // L
+    F = W2 * L
+
+    ks_list, sg_list = [], []
+    for i in range(k):
+        ke, si = _recode_signed(K_multi[i], c_bits)
+        ks_list.append(ke)
+        sg_list.append(si)
+    keys = jnp.concatenate(ks_list)   # (kW, n)
+    signs = jnp.concatenate(sg_list)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=U32)[None, :], (W2, n))
     idxsign = idx | (signs << 31)
     keys_s, idxsign_s = jax.lax.sort((keys, idxsign), dimension=1, num_keys=1)
+    if skip:
+        keys_s = keys_s[:, skip:]
+        idxsign_s = idxsign_s[:, skip:]
     perm = (idxsign_s & 0x7FFFFFFF).astype(jnp.int32)
-    sign_s = idxsign_s >> 31  # (16, n)
+    sign_s = idxsign_s >> 31  # (kW, n_live)
 
     # chunk-major rearrange: lane (w, l) owns sorted positions [l*R, (l+1)*R)
-    gidx = perm.reshape(windows, L, R).transpose(2, 0, 1)  # (R, W, L)
-    sgn = sign_s.reshape(windows, L, R).transpose(2, 0, 1).reshape(R, 1, F)
+    gidx = perm.reshape(W2, L, R).transpose(2, 0, 1)  # (R, W2, L)
+    sgn = sign_s.reshape(W2, L, R).transpose(2, 0, 1).reshape(R, 1, F)
 
-    gathered = xy_pack[:, gidx]  # (16, R, 16, L)
+    gathered = xy_pack[:, gidx]  # (16, R, W2, L)
     gathered = jnp.moveaxis(gathered, 1, 0).reshape(R, NLIMBS, F)
 
     # prefix scan: plain running mixed-add, emits every prefix
@@ -357,29 +378,41 @@ def _msm2_device(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int,
     # P_all: tuple of (R, 16, F); accT: lane totals (16, F)
 
     # exclusive prefix over lanes within each window
-    T = tuple(c.reshape(NLIMBS, windows, L) for c in accT)
-    Lx = _excl_prefix(mctx, T, L)  # (16, W, L)
+    T = tuple(c.reshape(NLIMBS, W2, L) for c in accT)
+    Lx = _excl_prefix(mctx, T, L)  # (16, W2, L)
 
-    # bucket boundary positions: r_d = (# keys <= d) - 1 for d = 0..dmax,
-    # via the one-hot MXU histogram (sorted or not — counts are the same)
-    cnt = _bucket_cum_counts(keys_s, windows, dmax, n)  # (W, dmax+1)
+    # bucket boundary positions within the live slice: r_d = (# live keys
+    # <= d) - 1.  MXU histogram for the big c=16 bucket space; batched
+    # bisection for small dmax (its gather volume is tiny there and it
+    # avoids a kW-way unrolled histogram loop).
+    if dmax > 512:
+        cnt = _bucket_cum_counts(keys_s, W2, dmax, n_live)  # (W2, dmax+1)
+    else:
+        qs = jnp.arange(dmax + 1, dtype=U32)
+        cnt = _bisect_right2(keys_s, qs, n_live)
     r = cnt - 1
     valid = r >= 0
     rc = jnp.maximum(r, 0)
     lq = rc // R
     tq = rc % R
 
-    warr = jnp.arange(windows, dtype=jnp.int32)[:, None]
-    colq = warr * L + lq  # (W, q)
-    Pg = tuple(jnp.moveaxis(c[tq, :, colq], -1, 0) for c in P_all)  # (16, W, q)
-    Lxg = tuple(c[:, warr, lq] for c in Lx)  # (16, W, q)
+    warr = jnp.arange(W2, dtype=jnp.int32)[:, None]
+    colq = warr * L + lq  # (W2, q)
+    Pg = tuple(jnp.moveaxis(c[tq, :, colq], -1, 0) for c in P_all)  # (16, W2, q)
+    Lxg = tuple(c[:, warr, lq] for c in Lx)  # (16, W2, q)
     Q = _padd_shaped(mctx, Lxg, Pg)
     ident = _identity_rows(mctx, Q[0].shape[1:])
     Q = tuple(jnp.where(valid[None], q, i) for q, i in zip(Q, ident))
 
-    Qsum = _tree_sum(mctx, tuple(c[..., :dmax] for c in Q), dmax)  # (16, W, 1)
-    Qtop = tuple(c[..., dmax:] for c in Q)  # (16, W, 1) = window totals
+    Qsum = _tree_sum(mctx, tuple(c[..., :dmax] for c in Q), dmax)  # (16, W2, 1)
+    Qtop = tuple(c[..., dmax:] for c in Q)  # (16, W2, 1) = window totals
     return tuple(jnp.concatenate([s, t], axis=-1) for s, t in zip(Qsum, Qtop))
+
+
+def _msm2_device(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int,
+                 xy_pack: jnp.ndarray, K_rows: jnp.ndarray):
+    """Single-MSM pipeline; returns (16, W, 2) [sum_{d<dmax} Q_d, Q_top]."""
+    return _msm2_multi(mctx, n, lanes, c_bits, 0, xy_pack, K_rows[None])
 
 
 # ---------------- host orchestration ---------------- #
@@ -482,6 +515,28 @@ def msm2_srs_rows(cfg: CurveCfg, K_rows, n_req: int,
     lanes = _choose_lanes(n)
     S = _msm2_device(mctx, n, lanes, c_bits, xy, K_rows)
     return _combine_host(cfg, S, c_bits)
+
+
+def msm2_srs_rows_multi(cfg: CurveCfg, K_batch, n_req: int,
+                        c_bits: int | None = None) -> list[Affine]:
+    """k SRS MSMs in ONE pipeline dispatch: K_batch (k, 16, n_req)
+    device-resident canonical scalar rows.  The prover's 16 w-polys /
+    16 t-chunks commit in a single sort/gather/scan instead of 16
+    sequential MSM dispatches."""
+    k = K_batch.shape[0]
+    n = max(4096, 1 << (n_req - 1).bit_length())
+    c_bits = c_bits or _choose_c(n)
+    windows, _ = _cfg_for_c(c_bits)
+    mctx = pk.mont_ctx(cfg.p, cfg.b)
+    xy = _srs_pack(cfg.name, n)
+    if n_req != n:
+        K_batch = jnp.concatenate(
+            [K_batch, jnp.zeros((k, NLIMBS, n - n_req), K_batch.dtype)], axis=2)
+    lanes = _choose_lanes(n)
+    S = jax.device_get(_msm2_multi(mctx, n, lanes, c_bits, 0, xy, K_batch))
+    return [_combine_host(
+        cfg, tuple(c[:, i * windows:(i + 1) * windows] for c in S), c_bits)
+        for i in range(k)]
 
 
 def msm2(cfg: CurveCfg, scalars: list[int], points: list[Affine],

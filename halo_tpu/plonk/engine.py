@@ -176,6 +176,20 @@ class Engine:
 
         return pcdl.commit(_cfg_of(self.cfg_name), vals, d)
 
+    def commit_batch(self, coeffs: jnp.ndarray, d: int) -> list:
+        """Commit a (k, n, 16) Montgomery coeff stack -> k affine points.
+
+        On accelerators all k MSMs run as ONE batched pipeline dispatch
+        (msm2_srs_rows_multi); on CPU it falls back to per-poly commit."""
+        k, n = coeffs.shape[0], coeffs.shape[1]
+        assert n <= d + 1, f"degree bound: {n} coeffs > d+1 = {d + 1}"
+        if jax.default_backend() != "cpu" and n >= 2048:
+            from ..ops import msm2
+
+            K = jnp.transpose(ff.from_mont_jit(self.ctx, coeffs), (0, 2, 1))
+            return msm2.msm2_srs_rows_multi(_cfg_of(self.cfg_name), K, n)
+        return [self.commit(coeffs[i], d) for i in range(k)]
+
     # ---------------- sequential algebra ---------------- #
 
     def grand_product(self, ratios: jnp.ndarray) -> jnp.ndarray:

@@ -104,7 +104,7 @@ def naive_prover_device(
     pi_big = eng.ntt_extended(pi_poly[None], big_n)[0]
 
     # ---- Round 1 ----
-    C_ws = [eng.commit(ws_dev[i], d) for i in range(W_POLYS)]
+    C_ws = eng.commit_batch(ws_dev, d)  # 16 MSMs, one batched dispatch
     transcript.absorb_g(C_ws)
     timer.mark("round0+1.extend+commit_ws")
 
@@ -189,7 +189,7 @@ def naive_prover_device(
     t_poly = eng.divide_by_vanishing(f_poly, n)  # (15n, 16)
     t_full = pad_to(t_poly, T_POLYS * n)
     ts_dev = t_full.reshape(T_POLYS, n, ff.NLIMBS)
-    C_ts = [eng.commit(ts_dev[i], d) for i in range(T_POLYS)]
+    C_ts = eng.commit_batch(ts_dev, d)  # 16 MSMs, one batched dispatch
     transcript.absorb_g(C_ts)
     timer.mark("round4.quotient")
 
