@@ -533,10 +533,21 @@ def msm2_srs_rows_multi(cfg: CurveCfg, K_batch, n_req: int,
         K_batch = jnp.concatenate(
             [K_batch, jnp.zeros((k, NLIMBS, n - n_req), K_batch.dtype)], axis=2)
     lanes = _choose_lanes(n)
-    S = jax.device_get(_msm2_multi(mctx, n, lanes, c_bits, 0, xy, K_batch))
-    return [_combine_host(
-        cfg, tuple(c[:, i * windows:(i + 1) * windows] for c in S), c_bits)
-        for i in range(k)]
+    # HBM cap: the pipeline's prefix/gather tensors cost ~280 bytes per
+    # (window, lane), independent of the R/L split — at 2^16 x 16 polys
+    # that is ~9 GB and OOMs the 16 GB chip mid-prover.  Sub-batch so one
+    # dispatch stays under ~3.5 GB.
+    k_max = max(1, int(3.5e9 / (280 * windows * n)))
+    n_chunks = -(-k // k_max)
+    k_max = -(-k // n_chunks)  # even-ish chunks -> fewer compiled shapes
+    outs = []
+    for j0 in range(0, k, k_max):
+        sub = K_batch[j0:j0 + k_max]
+        S = jax.device_get(_msm2_multi(mctx, n, lanes, c_bits, 0, xy, sub))
+        outs.extend(_combine_host(
+            cfg, tuple(c[:, i * windows:(i + 1) * windows] for c in S), c_bits)
+            for i in range(sub.shape[0]))
+    return outs
 
 
 def msm2(cfg: CurveCfg, scalars: list[int], points: list[Affine],
