@@ -96,7 +96,11 @@ def test_pippenger_wide_schedule_matches(monkeypatch):
     instantiations take XLA CPU minutes to compile."""
     monkeypatch.setenv("HALO_TPU_WIDE_SCHEDULE", "1")
     cfg = hc.PALLAS
-    n = 4096
+    # n shrunk 4096 -> 1024 with lanes 64 (same chunk structure, 16 chunks;
+    # the round-3 size blew the CI time-box purely on XLA CPU compiles of
+    # the v1 jnp graphs — v2 is the production tier, this pins the v1
+    # schedule's segmented-scan logic, which is size-independent)
+    n = 1024
     base_pts, _ = _points_scalars(cfg, 32)
     pts = (base_pts * (n // 32))[:n]
     ks = [rng.randrange(cfg.r) for _ in range(n)]
@@ -104,14 +108,14 @@ def test_pippenger_wide_schedule_matches(monkeypatch):
     ks[1] = cfg.r - 1
     k = rng.randrange(cfg.r)
     ks[2 : n // 4] = [k] * (n // 4 - 2)  # giant run crossing chunks
-    _pippenger_case(cfg, pts, ks, 128)
+    _pippenger_case(cfg, pts, ks, 64)
 
 
 @pytest.mark.slow
 def test_pippenger_large_matches_host():
     cfg = hc.PALLAS
     ctx = ec.ec_ctx(cfg)
-    n = 8192
+    n = 2048  # shrunk from 8192: see test_pippenger_wide_schedule_matches
     pts, ks = _points_scalars(cfg, 64)
     # tile to n to keep host-side generation cheap; scalars vary
     pts = (pts * (n // 64))[:n]
@@ -120,7 +124,7 @@ def test_pippenger_large_matches_host():
     ks[1] = cfg.r - 1
     P = ec.from_affine_ints(ctx, pts)
     K = jnp.asarray(ff.ints_to_array(ks))
-    total = msm.pippenger_jit(ctx, P, K, 128, msm._wide_schedule())
+    total = msm.pippenger_jit(ctx, P, K, 64, msm._wide_schedule())
     got = ec.to_affine_ints(ctx, tuple(c[None] for c in total))[0]
     assert got == hc.msm_host(cfg, ks, pts)
 
