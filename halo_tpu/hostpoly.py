@@ -97,6 +97,72 @@ def _ntt_device(m: int, vec: list[int], inverse: bool) -> list[int]:
     return ff.array_to_ints(np.asarray(ff.from_mont_jit(ctx, out)))
 
 
+# per-graph element budget for a batched NTT (see Engine.NTT_BATCH_BUDGET:
+# every butterfly stage's (k, n, 16) output is live in XLA's HBM estimate)
+_NTT_BATCH_BUDGET = 1 << 22
+
+
+def ntt_host_batch(m: int, vecs: list[list[int]], inverse: bool = False,
+                   want_dev: bool = False):
+    """Batched ntt_host over k same-length vectors.
+
+    Above the device threshold the whole group runs as ONE (k, n, 16)
+    device dispatch with a single host<->device transfer each way — the
+    per-poly transfer latency dominated the arithmetizer at 2^16 rows
+    (profiled ~0.55 s/poly warm, of which <0.15 s was the transform).
+
+    want_dev=True additionally returns the device-resident Montgomery
+    arrays — (outs, dev_out, dev_in), each dev (k, n, 16) or None — so
+    downstream device consumers (the device prover) can skip re-uploading
+    the same polynomials (dev_out: transform output; dev_in: the input,
+    i.e. the eval-domain vectors when inverse=True)."""
+    if not vecs:
+        return ([], None, None) if want_dev else []
+    n = len(vecs[0])
+    if n < NTT_DEVICE_MIN or any(len(v) != n for v in vecs):
+        res = [ntt_host(m, v, inverse) for v in vecs]
+        return (res, None, None) if want_dev else res
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .ops import ff, ntt as ntt_ops
+
+    ctx = ff.ctx_for(m)
+    outs: list[list[int]] = []
+    devs_out = []
+    devs_in = []
+    k_max = max(1, _NTT_BATCH_BUDGET // n)
+    for i in range(0, len(vecs), k_max):
+        chunk = vecs[i : i + k_max]
+        flat = [v for col in chunk for v in col]
+        arr = ff.ints_to_array(flat).reshape(len(chunk), n, -1)
+        a = ff.to_mont_jit(ctx, jnp.asarray(arr))
+        out = ntt_ops.intt_jit(ctx, a) if inverse else ntt_ops.ntt_jit(ctx, a)
+        if want_dev:
+            devs_in.append(a)
+            devs_out.append(out)
+        # canonical limbs are < 2^16: pull as u16 (halves the transfer,
+        # which dominates the warm cost through the device tunnel)
+        host = np.asarray(jnp.asarray(ff.from_mont_jit(ctx, out), jnp.uint16))
+        outs.extend(ff.array_to_ints(host[j]) for j in range(len(chunk)))
+    if not want_dev:
+        return outs
+
+    def _cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    return outs, _cat(devs_out), _cat(devs_in)
+
+
+def interpolate_evals_batch(evals: list["HostEvals"], want_dev: bool = False):
+    """Batched HostEvals.interpolate over a same-domain group."""
+    if not evals:
+        return ([], None, None) if want_dev else []
+    m = evals[0].m
+    return ntt_host_batch(m, [e.vec for e in evals], inverse=True, want_dev=want_dev)
+
+
 def poly_eval(m: int, coeffs: list[int], z: int) -> int:
     acc = 0
     for c in reversed(coeffs):

@@ -46,7 +46,8 @@ class Engine:
         return ff.to_mont_jit(self.ctx, jnp.asarray(arr))
 
     def to_ints(self, dev: jnp.ndarray) -> list[int]:
-        out = np.asarray(ff.from_mont_jit(self.ctx, dev))
+        # canonical limbs fit u16: halve the device->host transfer
+        out = np.asarray(jnp.asarray(ff.from_mont_jit(self.ctx, dev), jnp.uint16))
         return ff.array_to_ints(out.reshape(-1, NLIMBS))
 
     # ---------------- polynomial ops ---------------- #

@@ -81,13 +81,21 @@ def naive_prover_device(
     mds = _scalar_mds(cfg)
     polys = witness.polys
 
-    # ---- conversions (single batched transfers) ----
-    qs_dev = eng.to_dev_batch(polys.qs)
-    ws_dev = eng.to_dev_batch(polys.ws)
-    rs_dev = eng.to_dev_batch(polys.rs)
-    ids_dev = eng.to_dev_batch(polys.ids)
-    sigmas_dev = eng.to_dev_batch(polys.sigmas)
-    w_raw = eng.to_dev_batch([e.vec for e in witness.w_evals])  # rotated eval vecs
+    # ---- conversions (single batched transfers; Trace.new's batched
+    # interpolation may have left device-resident mirrors — reuse them and
+    # skip re-uploading ~230 MB of identical limb data per proof) ----
+    dp = witness.dev_polys or {}
+
+    def _dev(key, host_cols):
+        cached = dp.get(key)
+        return cached if cached is not None else eng.to_dev_batch(host_cols)
+
+    qs_dev = _dev("qs", polys.qs)
+    ws_dev = _dev("ws", polys.ws)
+    rs_dev = _dev("rs", polys.rs)
+    ids_dev = _dev("ids", polys.ids)
+    sigmas_dev = _dev("sigmas", polys.sigmas)
+    w_raw = _dev("w_evals", [e.vec for e in witness.w_evals])  # rotated eval vecs
 
     # ---- Round 0 ----
     pi_vals = list(public_inputs.public_inputs) + [0] * (n - len(public_inputs.public_inputs))
