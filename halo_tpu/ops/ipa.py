@@ -109,6 +109,71 @@ def _u_msm_jit(mctx: pk.MontCtx, fctx, n: int, c_bits: int, xy_pack, gw):
     return msm2._msm2_device(mctx, n, lanes, c_bits, xy_pack, K)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _round_msms_pair_jit(mctx: pk.MontCtx, fctx, n: int,
+                         xy_pack, cs, zs, gw, h, csiL, csiR, maskL):
+    """One fold round's device work for TWO independent opens at once:
+    cs/zs/gw are (2, n, 16) stacks, and all four half-MSMs (L/R x both
+    opens) run as ONE _msm2_multi dispatch over the full SRS pack with
+    full-length masked scalars and skip = n/2 (each window of a scalar
+    vector that is zero on half its support has >= n/2 zero-digit lanes,
+    which sort to the front — the skip machinery _msm2_multi was built
+    for).  One dispatch + one host pull per round instead of two."""
+    from ..plonk.engine import _chunk_sum_jit
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    mask = iota < h
+    dl = jnp.where(mask, ff.mont_mul(fctx, jnp.roll(cs, -h, axis=-2), zs), 0)
+    dr = jnp.where(mask, ff.mont_mul(fctx, cs, jnp.roll(zs, -h, axis=-2)), 0)
+
+    mL = maskL[None, :, None]
+    sL = jnp.where(mL, ff.from_mont(fctx, ff.mont_mul(fctx, gw, cs[:, csiL])), 0)
+    sR = jnp.where(~mL, ff.from_mont(fctx, ff.mont_mul(fctx, gw, cs[:, csiR])), 0)
+    # (4, n, 16): [L0, R0, L1, R1] -> canonical limb rows (4, 16, n)
+    K4 = jnp.stack([sL[0], sR[0], sL[1], sR[1]])
+    K4 = jnp.transpose(K4, (0, 2, 1))
+    lanes = _fold_lanes(n // 2)
+    S = msm2._msm2_multi(mctx, n, lanes, FOLD_C_BITS, n // 2, xy_pack, K4)
+    return _chunk_sum_jit(dl), _chunk_sum_jit(dr), S
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _fold_state_pair_jit(fctx, n: int, cs, zs, gw, h, xi_mont, xi_inv_mont):
+    """Batched post-transcript state update for the open pair: (2, n, 16)
+    stacks, per-open challenges xi_mont/xi_inv_mont of shape (2, 1, 16)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    mask = iota < h
+    cs = jnp.where(mask, ff.add(fctx, cs, ff.mont_mul(
+        fctx, jnp.roll(cs, -h, axis=-2), xi_inv_mont)), 0)
+    zs = jnp.where(mask, ff.add(fctx, zs, ff.mont_mul(
+        fctx, jnp.roll(zs, -h, axis=-2), xi_mont)), 0)
+    bit = ((iota // jnp.maximum(h, 1)) & 1) == 1
+    gw = jnp.where(bit, ff.mont_mul(fctx, gw, xi_mont), gw)
+    return cs, zs, gw
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _u_msm_pair_jit(mctx: pk.MontCtx, fctx, n: int, c_bits: int, xy_pack, gw):
+    K = jnp.transpose(ff.from_mont(fctx, gw), (0, 2, 1))  # (2, 16, n)
+    lanes = _fold_lanes(n)
+    return msm2._msm2_multi(mctx, n, lanes, c_bits, 0, xy_pack, K)
+
+
+@lru_cache(maxsize=32)
+def _round_full_indices(n: int, k: int):
+    """Full-length cs gather indices + L-support mask for round k: position
+    i (rem = i mod 2h) belongs to L iff rem < h with cs index rem + h, and
+    to R iff rem >= h with cs index rem - h (same algebra as
+    _round_indices, uncompacted)."""
+    h = n >> k
+    i = np.arange(n, dtype=np.int64)
+    rem = i % (2 * h)
+    maskL = rem < h
+    csiL = np.where(maskL, rem + h, 0).astype(np.int32)
+    csiR = np.where(~maskL, rem - h, 0).astype(np.int32)
+    return jnp.asarray(csiL), jnp.asarray(csiR), jnp.asarray(maskL)
+
+
 @lru_cache(maxsize=32)
 def _round_indices(n: int, k: int):
     """Host-precomputed gather indices for round k (1-based): compact
@@ -207,3 +272,120 @@ def open_without_eval_device(
     U = msm2._combine_host(cfg, SU, c_bits_u)
     c_final = ff.array_to_ints(np.asarray(ff.from_mont_jit(fctx, cs[:1])))[0]
     return pcdl.EvalProof(Ls=Ls, Rs=Rs, U=U, c=c_final, C_bar=None, w_prime=None)
+
+
+def open_pair_without_eval_device(
+    cfg: CurveCfg, opens: list, d: int
+) -> list:
+    """TWO non-hiding IPA opens folded in lockstep: each round's four half
+    MSMs (L/R of both) run as one batched dispatch with one host pull.
+    The PLONK prover's round 5 opens r at xi and r_omega at xi*omega —
+    independent transcripts, identical shapes (reference protocol.rs
+    round-5; pcdl.rs:404-438 is the per-open loop).
+
+    opens: [(p_or_dev, C, z, v), (p_or_dev, C, z, v)] where p_or_dev is a
+    host coefficient list OR a device-resident (n, 16) Montgomery coeff
+    array (the device prover passes its r_dev arrays straight in).
+    Returns the two EvalProofs, bit-identical to sequential opens."""
+    from .. import pcdl
+    from ..srs import load_srs
+
+    assert len(opens) == 2
+    n = d + 1
+    lg_n = n.bit_length() - 1
+    m = cfg.r
+    fctx = ff.ctx_for(m)
+    mctx = pk.mont_ctx(cfg.p, cfg.b)
+    pp = load_srs(cfg.name, max(4, n))
+
+    if n == 1:
+        g0 = pp.gs_ints(1)[0]
+        out = []
+        for p, C, z, v in opens:
+            c0 = (p[0] % m if len(p) else 0) if isinstance(p, list) else int(
+                ff.limbs_to_int(np.asarray(ff.from_mont_jit(fctx, p[:1]))[0])) % m
+            out.append(pcdl.EvalProof(Ls=[], Rs=[], U=g0, c=c0,
+                                      C_bar=None, w_prime=None))
+        return out
+
+    xy_pack = msm2._srs_pack(cfg.name, n)
+
+    transcripts = []
+    xis = []
+    H_primes = []
+    cs_list = []
+    zs_list = []
+    for p, C, z, v in opens:
+        t = Sponge(Protocols.PCDL, cfg)
+        t.absorb_g([C])
+        t.absorb_fr([z, v])
+        xi0 = t.challenge()
+        transcripts.append(t)
+        xis.append(xi0)
+        H_primes.append(ec_mul(cfg, pp.H, xi0))
+        if isinstance(p, list):
+            cs_i = ff.to_mont_jit(fctx, jnp.asarray(
+                ff.ints_to_array([c % m for c in p] + [0] * (n - len(p)))))
+        else:
+            cs_i = p
+            if cs_i.shape[0] != n:
+                cs_i = jnp.concatenate(
+                    [cs_i, jnp.zeros((n - cs_i.shape[0], NLIMBS), U32)])
+        cs_list.append(cs_i)
+        zpows = [0] * n
+        cur = 1
+        for i in range(n):
+            zpows[i] = cur
+            cur = cur * z % m
+        zs_list.append(ff.to_mont_jit(fctx, jnp.asarray(ff.ints_to_array(zpows))))
+
+    cs = jnp.stack(cs_list)
+    zs = jnp.stack(zs_list)
+    gw = ff.mont_one(fctx, (2, n))
+
+    Ls = [[], []]
+    Rs = [[], []]
+    for k in range(1, lg_n + 1):
+        h = n >> k
+        csiL, csiR, maskL = _round_full_indices(n, k)
+        dl_part, dr_part, S = jax.device_get(_round_msms_pair_jit(
+            mctx, fctx, n, xy_pack, cs, zs, gw, jnp.int32(h), csiL, csiR, maskL))
+        windows, _ = msm2._cfg_for_c(FOLD_C_BITS)
+        xi_new = []
+        for o in range(2):
+            dot_l = _exact_sum(dl_part[o], m)
+            dot_r = _exact_sum(dr_part[o], m)
+            SL = tuple(c[:, (2 * o) * windows:(2 * o + 1) * windows] for c in S)
+            SR = tuple(c[:, (2 * o + 1) * windows:(2 * o + 2) * windows] for c in S)
+            Lpt = msm2._combine_host(cfg, SL, FOLD_C_BITS)
+            Rpt = msm2._combine_host(cfg, SR, FOLD_C_BITS)
+            L = ec_add(cfg, Lpt, ec_mul(cfg, H_primes[o], dot_l))
+            R = ec_add(cfg, Rpt, ec_mul(cfg, H_primes[o], dot_r))
+            Ls[o].append(L)
+            Rs[o].append(R)
+            t = transcripts[o]
+            t.absorb_fr([xis[o]])
+            t.absorb_g([L, R])
+            xis[o] = t.challenge()
+            xi_new.append(xis[o])
+
+        xi_dev = ff.to_mont_jit(fctx, jnp.asarray(
+            ff.ints_to_array(xi_new)))[:, None, :]
+        xi_inv_dev = ff.to_mont_jit(fctx, jnp.asarray(
+            ff.ints_to_array([inv(x, m) for x in xi_new])))[:, None, :]
+        cs, zs, gw = _fold_state_pair_jit(fctx, n, cs, zs, gw, jnp.int32(h),
+                                          xi_dev, xi_inv_dev)
+
+    c_bits_u = msm2._choose_c(n)
+    SU = jax.device_get(_u_msm_pair_jit(mctx, fctx, n, c_bits_u, xy_pack, gw))
+    windows_u, _ = msm2._cfg_for_c(c_bits_u)
+    cs_host = np.asarray(ff.from_mont_jit(fctx, cs[:, :1]))
+    out = []
+    for o in range(2):
+        U = msm2._combine_host(
+            cfg, tuple(c[:, o * windows_u:(o + 1) * windows_u] for c in SU),
+            c_bits_u)
+        c_final = ff.array_to_ints(cs_host[o])[0]
+        out.append(pcdl.EvalProof(Ls=Ls[o], Rs=Rs[o], U=U, c=c_final,
+                                  C_bar=None, w_prime=None))
+    return out

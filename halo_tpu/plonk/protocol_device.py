@@ -218,10 +218,31 @@ def naive_prover_device(
     xi = transcript.challenge()
     acc_prev = public_inputs.acc_prev
 
-    r_ints = eng.to_ints(r_dev)
-    r_omega_ints = eng.to_ints(r_omega_dev)
-    q_r = pcdl.Instance.open(cfg, r_ints, d, xi, w=None, rng=rng)
-    q_r_omega = pcdl.Instance.open(cfg, r_omega_ints, d, xi * witness.omega % m, w=None, rng=rng)
+    z_r = xi
+    z_rw = xi * witness.omega % m
+    import jax
+
+    if jax.default_backend() != "cpu" and n >= pcdl.DEVICE_OPEN_MIN:
+        # paired device open: both commitments in one batched MSM dispatch,
+        # both evals on device, and the two fold loops in lockstep (each
+        # round: ONE 4-way MSM dispatch + one host pull, see ops/ipa.py
+        # open_pair_without_eval_device).  Bit-identical to the sequential
+        # Instance.open calls (exact arithmetic, independent transcripts).
+        from ..ops import ipa
+
+        C_pair = eng.commit_batch(jnp.stack([r_dev, r_omega_dev]), d)
+        v_r = eng.eval_batch(r_dev[None], z_r)[0]
+        v_rw = eng.eval_batch(r_omega_dev[None], z_rw)[0]
+        pi_r, pi_rw = ipa.open_pair_without_eval_device(
+            cfg, [(r_dev, C_pair[0], z_r, v_r),
+                  (r_omega_dev, C_pair[1], z_rw, v_rw)], d)
+        q_r = pcdl.Instance(C=C_pair[0], d=d, z=z_r, v=v_r, pi=pi_r)
+        q_r_omega = pcdl.Instance(C=C_pair[1], d=d, z=z_rw, v=v_rw, pi=pi_rw)
+    else:
+        r_ints = eng.to_ints(r_dev)
+        r_omega_ints = eng.to_ints(r_omega_dev)
+        q_r = pcdl.Instance.open(cfg, r_ints, d, z_r, w=None, rng=rng)
+        q_r_omega = pcdl.Instance.open(cfg, r_omega_ints, d, z_rw, w=None, rng=rng)
 
     acc_next = acc_mod.prover(cfg, [acc_prev.q, q_r, q_r_omega], rng=rng)
     timer.mark("round5.open+accumulate")

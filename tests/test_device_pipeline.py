@@ -35,6 +35,32 @@ def test_device_open_matches_host():
     pcdl.check(cfg, C, n - 1, z, v, dev_pi)
 
 
+@pytest.mark.slow
+def test_device_open_pair_matches_host():
+    """The lockstep pair open (one 4-way MSM dispatch per round, skip=n/2)
+    is bit-identical to two independent host opens.  Slow: interpret-mode
+    Pallas compiles on the CPU backend dominate (~5 min)."""
+    from halo_tpu.ops.ipa import open_pair_without_eval_device
+    from halo_tpu.hostpoly import poly_eval
+
+    cfg = PALLAS
+    n = 64
+    opens = []
+    host_pis = []
+    for _ in range(2):
+        p = [rng.randrange(cfg.r) for _ in range(n)]
+        z = rng.randrange(cfg.r)
+        C = pcdl.commit(cfg, p, n - 1)
+        v = poly_eval(cfg.r, p, z)
+        opens.append((p, C, z, v))
+        host_pis.append(pcdl.open_without_eval(cfg, p, C, n - 1, z, v, None))
+    dev_pis = open_pair_without_eval_device(cfg, opens, n - 1)
+    for (p, C, z, v), dev_pi, host_pi in zip(opens, dev_pis, host_pis):
+        assert (dev_pi.Ls, dev_pi.Rs, dev_pi.U, dev_pi.c) == (
+            host_pi.Ls, host_pi.Rs, host_pi.U, host_pi.c)
+        pcdl.check(cfg, C, n - 1, z, v, dev_pi)
+
+
 def test_device_ntt_routing_matches():
     m = FP_MOD
     vec = [rng.randrange(m) for _ in range(32)]

@@ -244,3 +244,44 @@ def test_message_pass_values():
     # message-pass values appear as public inputs of the receiving trace
     assert fp_data.public_inputs[-1] == val
     assert fq_data.public_inputs[-2:] == [wval >> 1, wval & 1]
+
+
+def test_scalar_mul_batch_matches_reference():
+    """The batched (Jacobian chain + batch_inv0) scalar-mul witness rows are
+    bit-identical to the sequential sp_add/affine_*_params path they
+    replaced, including identity-prefix rows and the zero scalar."""
+    from halo_tpu.plonk.circuit import (
+        TraceBuilder,
+        affine_add_params,
+        affine_double_params,
+        sp_add,
+    )
+    from halo_tpu.curves import PALLAS, VESTA, ec_mul
+    from halo_tpu.fields import FP_MOD, FQ_MOD
+
+    rng2 = random.Random(123)
+    tb = TraceBuilder.__new__(TraceBuilder)  # method under test is pure
+    for cfg, m in ((VESTA, FP_MOD), (PALLAS, FQ_MOD)):
+        gpt = ec_mul(cfg, cfg.generator, rng2.randrange(1, cfg.r))
+        for h in (0, 1, 2, 5, rng2.randrange(1 << 254), (1 << 254) - 1):
+            bits = [(h >> i) & 1 for i in range(253, -1, -1)]
+            got = tb._scalar_mul_rows_batch(m, cfg, gpt, bits)
+            point_acc = (0, 0)
+            for bit, row in zip(bits, got):
+                q_pt = sp_add(cfg, point_acc, point_acc)
+                r_pt = sp_add(cfg, q_pt, gpt)
+                beta_q, lam_q = affine_double_params(m, point_acc)
+                al, _, ga, de, la = affine_add_params(m, q_pt, gpt)
+                assert row == (q_pt, r_pt, beta_q, lam_q, al, ga, de, la)
+                point_acc = r_pt if bit else q_pt
+    # identity generator (the (0,0) special-point convention)
+    bits = [1, 0, 1, 1]
+    got = tb._scalar_mul_rows_batch(FP_MOD, VESTA, (0, 0), bits)
+    point_acc = (0, 0)
+    for bit, row in zip(bits, got):
+        q_pt = sp_add(VESTA, point_acc, point_acc)
+        r_pt = sp_add(VESTA, q_pt, (0, 0))
+        beta_q, lam_q = affine_double_params(FP_MOD, point_acc)
+        al, _, ga, de, la = affine_add_params(FP_MOD, q_pt, (0, 0))
+        assert row == (q_pt, r_pt, beta_q, lam_q, al, ga, de, la)
+        point_acc = r_pt if bit else q_pt
