@@ -355,7 +355,7 @@ def bench_succinct_check(log_n: int):
 
 
 DEFAULT_METRICS = ("msm16,msm20,msm12,msm18,ntt22,ntt18,"
-                   "pcdl12,pcdl10,pcdl16,acc12,sc16,plonk12,plonk14")
+                   "pcdl12,pcdl10,pcdl16,acc12,sc16,plonk12,plonk14,plonk16")
 
 
 def main() -> None:
