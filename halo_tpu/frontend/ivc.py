@@ -283,8 +283,24 @@ class IVCState:
         assert fp_circuit.rows == params.fp_circuit.rows
         reset()
 
-        fp_pi = protocol.naive_prover(PALLAS, fp_circuit, fp_x, fp_w)
-        fq_pi = protocol.naive_prover(VESTA, fq_circuit, fq_x, fq_w)
+        # The two proofs are independent (reference ivc/mod.rs:648-649 —
+        # the pp-analog axis).  On an accelerator, run them in two threads:
+        # each prover's host transcript rounds leave the device idle, so the
+        # other prover's dispatches fill the gaps (single-chip pipelining;
+        # on a multi-chip mesh they run on disjoint sub-meshes instead,
+        # parallel/pipeline.py).
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fut_p = ex.submit(protocol.naive_prover, PALLAS, fp_circuit, fp_x, fp_w)
+                fut_q = ex.submit(protocol.naive_prover, VESTA, fq_circuit, fq_x, fq_w)
+                fp_pi, fq_pi = fut_p.result(), fut_q.result()
+        else:
+            fp_pi = protocol.naive_prover(PALLAS, fp_circuit, fp_x, fp_w)
+            fq_pi = protocol.naive_prover(VESTA, fq_circuit, fq_x, fq_w)
         protocol.verify(PALLAS, fp_pi, fp_circuit, fp_x)
         protocol.verify(VESTA, fq_pi, fq_circuit, fq_x)
 
