@@ -55,8 +55,24 @@ if hasattr(_jax_cc, "zstd"):
 
 REFERENCE_MSM_POINTS_PER_S = 7.0e5  # estimate; see module docstring
 ITERS = int(os.environ.get("HALO_BENCH_ITERS", 3))
+# Self-imposed wall-clock budget (seconds).  The driver runs bench.py under
+# an external `timeout`; exceeding it yields rc=124 and an unparsed headline
+# (that was round 4's failure mode, BENCH_r04.json).  We instead stop
+# STARTING new metrics once `elapsed + est_cold_cost(next)` would cross the
+# budget, record the rest as skipped, and exit 0 with the grid flushed.
+BUDGET_S = float(os.environ.get("HALO_BENCH_BUDGET_S", 1350))
+_T_START = time.time()
 
 GRID = []
+_GRID_PATH = os.path.join(os.path.dirname(__file__), "BENCH_GRID.json")
+
+
+def _flush_grid():
+    """Incremental flush so a killed run still leaves a valid artifact."""
+    tmp = _GRID_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(GRID, f, indent=1)
+    os.replace(tmp, _GRID_PATH)
 
 
 def _record(metric, value, unit, *, vs_baseline=None, verified=None, compile_s=None, extra=None):
@@ -66,6 +82,7 @@ def _record(metric, value, unit, *, vs_baseline=None, verified=None, compile_s=N
         row.update(extra)
     GRID.append(row)
     print(f"bench: {json.dumps(row)}", file=sys.stderr)
+    _flush_grid()
     return row
 
 
@@ -354,18 +371,97 @@ def bench_succinct_check(log_n: int):
     )
 
 
-DEFAULT_METRICS = ("msm16,msm20,msm12,msm18,ntt22,ntt18,"
-                   "pcdl12,pcdl10,pcdl16,acc12,sc16,plonk12,plonk14,plonk16")
+# Order: headline first (its JSON line is printed the moment it completes),
+# then the device-prover evidence row, then cheap rows, then the rest.
+# Rows that would not fit in the remaining budget at COLD-cache compile cost
+# are recorded as skipped — a cold driver environment compiles the big MSM /
+# prover graphs at ~300 s each (BENCH_r04.json tail).
+def bench_schnorr(n: int = 8192):
+    """Per-signature verification throughput via the batched device path
+    (ops/schnorr_batch.py).  Reference harness: crates/plonk/src/main.rs:36-47
+    (40k rayon verifies of one signature, ~1,300 sig/s on 20 threads,
+    documents/thesis/08-benchmarks/index.md:69-70).  Here: n DISTINCT
+    messages/signatures, each verified independently on its own lane."""
+    import random
+
+    from halo_tpu import schnorr
+    from halo_tpu.curves import PALLAS
+
+    rng = random.Random(42)
+    t0 = time.time()
+    sk, pk = schnorr.generate_keypair(PALLAS, rng)
+    msgs = [[rng.randrange(PALLAS.p) for _ in range(10)] for _ in range(n)]
+    sigs = schnorr.sign_batch(PALLAS, sk, msgs, rng)
+    setup_s = time.time() - t0
+
+    t0 = time.time()
+    ok = schnorr.verify_batch(PALLAS, pk, msgs, sigs)  # warmup/compile
+    compile_s = time.time() - t0
+    verified = all(ok)
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        ok = schnorr.verify_batch(PALLAS, pk, msgs, sigs)
+        times.append(time.time() - t0)
+        verified = verified and all(ok)
+    best = min(times)
+
+    # negative control: a tampered signature must be the one lane that fails
+    bad = list(sigs)
+    bad[0] = schnorr.SchnorrSignature(r=bad[0].r, s=(bad[0].s + 1) % PALLAS.r)
+    okb = schnorr.verify_batch(PALLAS, pk, msgs, bad)
+    verified = verified and (not okb[0]) and all(okb[1:])
+
+    return _record(
+        "schnorr_verify_sigs_per_s", round(n / best, 1), "sigs/s",
+        vs_baseline=round(n / best / 1300.0, 3),  # reference parallel sig/s
+        verified=verified, compile_s=round(compile_s, 1),
+        extra={"n": n, "setup_s": round(setup_s, 1),
+               "times_s": [round(t, 4) for t in times]},
+    )
+
+
+DEFAULT_METRICS = ("msm20,schnorr,pcdl12,acc12,sc16,ntt18,pcdl10,plonk14,"
+                   "msm16,pcdl16,acc16,ntt22,msm18,msm12,plonk12,pcdl20,plonk16")
+
+# Conservative COLD-cache cost estimates (seconds) from the round-4 driver
+# tail; warm runs finish far faster and simply leave budget for more rows.
+_COLD_COST = {
+    "msm20": 420, "msm18": 330, "msm16": 330, "msm12": 150,
+    "ntt22": 430, "ntt18": 50,
+    "pcdl20": 400, "pcdl16": 160, "pcdl12": 150, "pcdl10": 10,
+    "acc16": 120, "acc12": 60, "sc16": 40,
+    "plonk12": 90, "plonk14": 650, "plonk16": 1100,
+    "schnorr": 170,
+}
+
+
+def _print_headline(headline) -> None:
+    if headline is None or headline.get("value") is None:
+        line = {"metric": "msm_pippenger_2^20_points_per_s", "value": 0.0,
+                "unit": "points/s", "vs_baseline": 0.0}
+    else:
+        line = {"metric": headline["metric"], "value": headline["value"],
+                "unit": headline["unit"], "vs_baseline": headline["vs_baseline"]}
+    print(json.dumps(line), flush=True)
 
 
 def main() -> None:
     which = os.environ.get("HALO_BENCH_METRICS", DEFAULT_METRICS).split(",")
     n_headline = int(os.environ.get("HALO_BENCH_N", 1 << 20))
-    print(f"bench: devices={jax.devices()}", file=sys.stderr)
+    print(f"bench: devices={jax.devices()} budget={BUDGET_S:.0f}s", file=sys.stderr)
 
     headline = None
+    headline_printed = False
     for name in which:
         name = name.strip()
+        elapsed = time.time() - _T_START
+        est = _COLD_COST.get(name, 300)
+        if elapsed + est > BUDGET_S:
+            _record(name, None, "skipped",
+                    extra={"reason": f"budget: {elapsed:.0f}s elapsed + ~{est}s cold > {BUDGET_S:.0f}s"})
+            continue
         t0 = time.time()
         try:
             if name == "msm20":
@@ -378,6 +474,8 @@ def main() -> None:
                 bench_pcdl_open(int(name[4:]))
             elif name.startswith("acc"):
                 bench_acc(int(name[3:]))
+            elif name == "schnorr":
+                bench_schnorr()
             elif name.startswith("sc"):
                 bench_succinct_check(int(name[2:]))
             elif name.startswith("plonk"):
@@ -387,22 +485,17 @@ def main() -> None:
         except Exception as e:  # record failures rather than aborting the grid
             _record(name, None, "error", verified=False, extra={"error": f"{type(e).__name__}: {e}"})
         print(f"bench: {name} total {time.time() - t0:.1f}s", file=sys.stderr)
+        if name == "msm20" and not headline_printed:
+            # Emit the headline line IMMEDIATELY (round-4 lesson: deferring it
+            # to the end left the harness with no parsed metric on timeout).
+            _print_headline(headline)
+            headline_printed = True
 
-    grid_path = os.path.join(os.path.dirname(__file__), "BENCH_GRID.json")
-    with open(grid_path, "w") as f:
-        json.dump(GRID, f, indent=1)
-    print(f"bench: grid written to {grid_path}", file=sys.stderr)
-
-    if headline is None or headline["value"] is None:
-        print(json.dumps({"metric": "msm_pippenger_2^20_points_per_s", "value": 0.0,
-                          "unit": "points/s", "vs_baseline": 0.0}))
-    else:
-        print(json.dumps({
-            "metric": headline["metric"],
-            "value": headline["value"],
-            "unit": headline["unit"],
-            "vs_baseline": headline["vs_baseline"],
-        }))
+    _flush_grid()
+    print(f"bench: grid written to {_GRID_PATH} "
+          f"(total {time.time() - _T_START:.1f}s)", file=sys.stderr)
+    if not headline_printed:
+        _print_headline(headline)
 
 
 if __name__ == "__main__":

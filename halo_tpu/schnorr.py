@@ -36,6 +36,36 @@ def sign(cfg: CurveCfg, sk: int, message: list[int], k: int | None = None) -> Sc
     return SchnorrSignature(r=r_point, s=s)
 
 
+def sign_batch(cfg: CurveCfg, sk: int, messages: list[list[int]],
+               rng=secrets) -> list[SchnorrSignature]:
+    """Sign many same-length messages under one key: per-signature nonces,
+    one lockstep batch hash, one C++ scalar-mul per commitment point."""
+    from . import native
+    from .ops.schnorr_batch import hash_message_batch
+
+    n = len(messages)
+    pk = ec_mul(cfg, cfg.generator, sk)
+    ks = [(rng.randbelow(cfg.r - 1) + 1) if hasattr(rng, "randbelow")
+          else rng.randrange(1, cfg.r) for _ in range(n)]
+    if native.available():
+        rs = [native.msm(cfg, [k], [cfg.generator]) for k in ks]
+    else:
+        rs = [ec_mul(cfg, cfg.generator, k) for k in ks]
+    es = hash_message_batch(cfg, pk, rs, messages)
+    return [SchnorrSignature(r=r, s=(k + e * sk) % cfg.r)
+            for r, k, e in zip(rs, ks, es)]
+
+
+def verify_batch(cfg: CurveCfg, pk: Affine, messages: list[list[int]],
+                 sigs: list[SchnorrSignature]) -> list[bool]:
+    """Per-signature verification of N signatures under one key as a single
+    device dispatch (lockstep Poseidon transcripts + fixed-base dual-mul;
+    ops/schnorr_batch.py).  Semantics match calling verify() N times."""
+    from .ops.schnorr_batch import verify_batch as _vb
+
+    return _vb(cfg, pk, messages, sigs)
+
+
 def verify(cfg: CurveCfg, pk: Affine, message: list[int], sig: SchnorrSignature) -> bool:
     e = hash_message(cfg, pk, sig.r, message)
     from . import native
