@@ -43,6 +43,15 @@ class HaloConfig:
 
     # ---- parallelism ----
     mesh_axis: str = "data"           # 1-D mesh axis name (parallel/mesh.py)
+    # IVC: prove the two curves' proofs in two threads (single-chip
+    # pipelining).  Peak HBM is ~2x a single prover; set
+    # HALO_TPU_IVC_SEQUENTIAL=1 on memory-constrained chips (advisor r4).
+    ivc_sequential_prove: bool = field(
+        default_factory=lambda: os.environ.get("HALO_TPU_IVC_SEQUENTIAL") == "1")
+    # plonk/trace.py static-circuit cache entries (each pins host polys +
+    # device mirrors, ~hundreds of MB at 2^16 rows)
+    trace_cache_entries: int = field(
+        default_factory=lambda: _int_env("HALO_TPU_TRACE_CACHE_ENTRIES", 4))
 
     # ---- observability ----
     timing: bool = field(default_factory=lambda: bool(os.environ.get("HALO_TPU_TIMING")))
@@ -53,6 +62,7 @@ class HaloConfig:
         "HALO_TPU_NTT_V2",          # ops/ntt.py: force rows-layout NTT
         "HALO_TPU_WIDE_SCHEDULE",   # ops/msm.py: force wide lane schedule
         "HALO_TPU_NO_NATIVE",       # native/: disable the C++ host tier
+        "HALO_TPU_FORCE_PAIR_OPEN",  # protocol_device: pair-open gate override
         "HALO_TPU_TIMING",          # utils/timing.py: per-round timers
         "HALO_TPU_SRS_DIR",         # srs.py: reference .precompute location
         "HALO_TPU_CACHE",           # srs.py: npz/freeze cache dir

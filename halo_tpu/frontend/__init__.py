@@ -33,9 +33,23 @@ class Call:
     """Binds witness/public-input values and produces the trace pair."""
 
     def __init__(self):
-        import copy
-
-        self.trace_builder = TraceBuilder(copy.deepcopy(current().circuit))
+        # Snapshot the spec WITHOUT deepcopy (profiled 3.4 s/step at 2^16:
+        # ~640k object copies).  TraceBuilder only READS the spec; Gate /
+        # Wire are immutable records, so a shallow gate-list copy plus
+        # copied counter lists fully isolates this Call from later
+        # mutations of the global frontend circuit.
+        src = current().circuit
+        spec = CircuitSpec.__new__(CircuitSpec)
+        spec.gates = list(src.gates)
+        spec.witness_wire_count = list(src.witness_wire_count)
+        spec.public_input_wire_count = list(src.public_input_wire_count)
+        spec.message_pass_wire_count = list(src.message_pass_wire_count)
+        spec.output_wire_count = list(src.output_wire_count)
+        spec.row_count = list(src.row_count)
+        spec.wire_count = list(src.wire_count)
+        spec.zero = list(src.zero)
+        spec.one = list(src.one)
+        self.trace_builder = TraceBuilder(spec)
 
     def witness(self, ws, value: int) -> None:
         self.trace_builder.witness(ws.wire, value)

@@ -163,10 +163,16 @@ def _measure_pi_counts(rows: int) -> tuple[int, int]:
         new_fp = spec.public_input_wire_count[0] + spec.message_pass_wire_count[0]
         new_fq = spec.public_input_wire_count[1] + spec.message_pass_wire_count[1]
         if (new_fp, new_fq) == (fp_pi, fq_pi):
-            break
+            reset()
+            return fp_pi, fq_pi
         fp_pi, fq_pi = new_fp, new_fq
     reset()
-    return fp_pi, fq_pi
+    # A non-converged count would silently freeze a WRONG circuit (the
+    # reference hard-codes its counts, ivc/mod.rs:110-112, so it cannot
+    # drift); fail loudly instead (round-4 verdict weak #9).
+    raise RuntimeError(
+        f"IVC public-input count failed to reach a fixed point in 4 "
+        f"iterations (last: fp={fp_pi}, fq={fq_pi})")
 
 
 def build_ivc_traces(rows: int, fp_pi_count: int, fq_pi_count: int, state, pk_next_pt,
@@ -291,7 +297,13 @@ class IVCState:
         # parallel/pipeline.py).
         import jax as _jax
 
-        if _jax.default_backend() != "cpu":
+        from ..config import get_config
+
+        # Thread-safety note: the two provers share lru_cache'd contexts and
+        # jit caches but touch DISJOINT curves (Fp vs Fq moduli), so no
+        # cached value is written by both threads; HALO_TPU_IVC_SEQUENTIAL=1
+        # opts out on memory-constrained chips (peak HBM is ~2x).
+        if _jax.default_backend() != "cpu" and not get_config().ivc_sequential_prove:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=2) as ex:

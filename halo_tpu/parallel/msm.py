@@ -120,6 +120,94 @@ def sharded_msm2_fn(cfg: CurveCfg, mesh: Mesh, n_local: int, c_bits: int = 8):
     return _FN_CACHE[key]
 
 
+def sharded_msm2_multi_fn(cfg: CurveCfg, mesh: Mesh, n_local: int, k: int,
+                          c_bits: int = 8):
+    """k-batched v2 sharded MSM over one point pack: K (k, 16, N) canonical
+    scalar rows and xy (16, N) both sharded on the lane axis; each chip runs
+    ONE _msm2_multi pipeline for all k MSMs, then the (16, k*W, 2) window
+    aggregates ring-reduce together.  This is the PROVER's mesh commit path
+    (round-4 verdict missing #1): commit_batch dispatches its 16 w-polys as
+    one sharded pipeline instead of 16 sequential sharded MSMs."""
+    from ..ops import ecrows, msm2
+    from ..ops import pallas_mont as pk
+
+    key = ("v2k", cfg.name, tuple(d.id for d in mesh.devices.flat), n_local, k, c_bits)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+
+    mctx = pk.mont_ctx(cfg.p, cfg.b)
+    ectx = ec.ec_ctx(cfg)
+    lanes = min(msm2._choose_lanes(n_local), n_local)
+
+    def local_step(xy, K):
+        S = msm2._msm2_multi(mctx, n_local, lanes, c_bits, 0, xy, K)  # (16, kW, 2) x3
+        w2 = S[0].shape[1] * S[0].shape[2]
+        flat = ecrows.canon(mctx, tuple(c.reshape(NLIMBS, w2) for c in S))
+        cols = tuple(jnp.transpose(c) for c in flat)  # (2kW, 16) canonical mont
+        return _ring_reduce_point(ectx, cols, "data")
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(PartitionSpec(None, "data"), PartitionSpec(None, None, "data")),
+        out_specs=(PartitionSpec(), PartitionSpec(), PartitionSpec()),
+        check_vma=False,
+    )
+    _FN_CACHE[key] = jax.jit(fn)
+    return _FN_CACHE[key]
+
+
+def _srs_pack_sharded(cfg_name: str, mesh: Mesh, n: int):
+    """The packed SRS rows, lane-sharded over the mesh (cached)."""
+    from ..ops import msm2
+
+    key = ("srs", cfg_name, tuple(d.id for d in mesh.devices.flat), n)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    xy = msm2._srs_pack(cfg_name, n)
+    sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+    _FN_CACHE[key] = jax.device_put(xy, sh)
+    return _FN_CACHE[key]
+
+
+def msm2_srs_rows_sharded(cfg: CurveCfg, mesh: Mesh, K_batch, n_req: int,
+                          c_bits: int | None = None) -> list[Affine]:
+    """SRS MSMs of device-resident canonical scalar rows, sharded over the
+    mesh: K_batch (k, 16, n_req) -> k affine points.  The sharded analog of
+    ops/msm2.msm2_srs_rows_multi — the Engine's commit path when a mesh is
+    configured (plonk/engine.py)."""
+    from ..ops import msm2
+
+    d = mesh.devices.size
+    k, n = int(K_batch.shape[0]), n_req
+    per = max(16, -(-n // d))
+    per = 1 << (per - 1).bit_length()
+    total_n = per * d
+    c_bits = c_bits or (8 if total_n < (1 << 18) else 16)
+    windows, _ = msm2._cfg_for_c(c_bits)
+    if total_n != n:
+        K_batch = jnp.concatenate(
+            [K_batch, jnp.zeros((k, NLIMBS, total_n - n), U32)], axis=2)
+    xy = _srs_pack_sharded(cfg.name, mesh, total_n)
+    sh = NamedSharding(mesh, PartitionSpec(None, None, "data"))
+    # On accelerators the whole stack goes out as one dispatch (k <= 16 in
+    # the prover); on the CPU mesh the interpret-mode Pallas trace costs
+    # ~2.5 min PER (n_local, k) SHAPE, so chunk to k=1 there — every commit
+    # in a proof then reuses one compiled executable.
+    k_chunk = k if jax.default_backend() != "cpu" else 1
+    outs: list[Affine] = []
+    for j0 in range(0, k, k_chunk):
+        sub = K_batch[j0:j0 + k_chunk]
+        fn = sharded_msm2_multi_fn(cfg, mesh, per, int(sub.shape[0]), c_bits)
+        out_cols = fn(xy, jax.device_put(sub, sh))
+        rows = tuple(jnp.transpose(c).reshape(NLIMBS, -1, 2) for c in out_cols)
+        outs.extend(
+            msm2._combine_host(
+                cfg, tuple(c[:, i * windows:(i + 1) * windows] for c in rows), c_bits)
+            for i in range(int(sub.shape[0]))
+        )
+    return outs
+
+
 def msm2_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Affine],
                  c_bits: int = 8, min_per: int = 512) -> Affine:
     """Host-facing v2 sharded MSM: pads to a per-chip power of two, shards

@@ -719,7 +719,10 @@ class TraceBuilder:
                     pw = pw * 2 % m
                     weights[nbits - 1 - i] = pw
                 if k == "scalar_mul_pallas":
-                    bits.append(low if low is not None else 0)
+                    # a missing low bit is a builder bug; defaulting it to 0
+                    # would emit a WRONG witness silently (advisor r4)
+                    assert low is not None, "scalar_mul_pallas: low bit unset"
+                    bits.append(low)
                     weights.append(1)
                 rows_batch = self._scalar_mul_rows_batch(m, cfg, gpt, bits)
                 bit_acc = 0

@@ -28,10 +28,23 @@ from ..ops.ff import NLIMBS, U32, FFCtx
 class Engine:
     cfg_name: str
     m: int  # scalar modulus
+    # Optional jax.sharding.Mesh: when set, SRS commitments dispatch through
+    # the sharded v2 MSM (parallel/msm.py) and large NTTs through the
+    # 4-step all_to_all distributed NTT (parallel/ntt.py) — the mesh analog
+    # of the reference prover's parallel-by-construction arkworks backends
+    # (crates/group/Cargo.toml:17-24).  Proof bytes are identical either way
+    # (tests/test_mesh_prover.py).
+    mesh: object = None
 
     @property
     def ctx(self) -> FFCtx:
         return ff.ctx_for(self.m)
+
+    def _mesh_ntt_ok(self, n: int) -> bool:
+        if self.mesh is None:
+            return False
+        d = self.mesh.devices.size
+        return n >= d * d and n % d == 0 and (n & (n - 1)) == 0
 
     # ---------------- conversions ---------------- #
 
@@ -60,9 +73,26 @@ class Engine:
     NTT_BATCH_BUDGET = 1 << 22  # elements per graph (= 256 MB of limbs)
 
     def _ntt_maybe_loop(self, fn, a: jnp.ndarray) -> jnp.ndarray:
+        if self._mesh_ntt_ok(a.shape[-2]):
+            return self._ntt_mesh(a, inverse=(fn is ntt.intt_jit))
         if a.ndim == 3 and a.shape[0] > 1 and a.shape[0] * a.shape[1] > self.NTT_BATCH_BUDGET:
             return jnp.stack([fn(self.ctx, a[i]) for i in range(a.shape[0])])
         return fn(self.ctx, a)
+
+    def _ntt_mesh(self, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        """Distributed 4-step NTT over the mesh; result gathered back to a
+        single device so downstream single-chip graphs are unaffected."""
+        from ..parallel import ntt as pntt
+
+        dev0 = list(self.mesh.devices.flat)[0]
+
+        def one(poly):
+            out = pntt.ntt_distributed(self.ctx, self.mesh, poly, inverse=inverse)
+            return jax.device_put(out, dev0)
+
+        if a.ndim == 3:
+            return jnp.stack([one(a[i]) for i in range(a.shape[0])])
+        return one(a)
 
     def intt(self, evals: jnp.ndarray) -> jnp.ndarray:
         return self._ntt_maybe_loop(ntt.intt_jit, evals)
@@ -167,6 +197,8 @@ class Engine:
         """
         n = coeffs.shape[0]
         assert n <= d + 1, f"degree bound: {n} coeffs > d+1 = {d + 1}"
+        if self.mesh is not None:
+            return self.commit_batch(coeffs[None], d)[0]
         if jax.default_backend() != "cpu" and n >= 2048:
             from ..ops import msm2
 
@@ -184,6 +216,11 @@ class Engine:
         (msm2_srs_rows_multi); on CPU it falls back to per-poly commit."""
         k, n = coeffs.shape[0], coeffs.shape[1]
         assert n <= d + 1, f"degree bound: {n} coeffs > d+1 = {d + 1}"
+        if self.mesh is not None:
+            from ..parallel import msm as pmsm
+
+            K = jnp.transpose(ff.from_mont_jit(self.ctx, coeffs), (0, 2, 1))
+            return pmsm.msm2_srs_rows_sharded(_cfg_of(self.cfg_name), self.mesh, K, n)
         if jax.default_backend() != "cpu" and n >= 2048:
             from ..ops import msm2
 
@@ -354,5 +391,5 @@ def _cfg_of(name: str) -> CurveCfg:
     return PALLAS if name == "pallas" else VESTA
 
 
-def engine_for(cfg: CurveCfg) -> Engine:
-    return Engine(cfg_name=cfg.name, m=cfg.r)
+def engine_for(cfg: CurveCfg, mesh=None) -> Engine:
+    return Engine(cfg_name=cfg.name, m=cfg.r, mesh=mesh)

@@ -438,13 +438,15 @@ def naive_prover(
     witness: PlonkWitness,
     rng=None,
     device: bool | None = None,
+    mesh=None,
 ) -> PlonkProof:
     if device is None:
-        device = circuit.rows >= PROVER_DEVICE_MIN
+        device = mesh is not None or circuit.rows >= PROVER_DEVICE_MIN
     if device:
         from .protocol_device import naive_prover_device
 
-        return naive_prover_device(cfg, circuit, public_inputs, witness, rng=rng)
+        return naive_prover_device(cfg, circuit, public_inputs, witness, rng=rng,
+                                   mesh=mesh)
     from ..utils.timing import RoundTimer
 
     timer = RoundTimer(f"plonk.prover[{cfg.name}, n={circuit.rows}]")

@@ -67,11 +67,12 @@ def naive_prover_device(
     public_inputs: PlonkPublicInputs,
     witness: PlonkWitness,
     rng=None,
+    mesh=None,
 ) -> PlonkProof:
     from ..utils.timing import RoundTimer
 
     timer = RoundTimer(f"plonk.prover_device[{cfg.name}, n={circuit.rows}]")
-    eng = engine_for(cfg)
+    eng = engine_for(cfg, mesh=mesh)
     m = cfg.r
     n = circuit.rows
     d = n - 1
@@ -221,8 +222,15 @@ def naive_prover_device(
     z_r = xi
     z_rw = xi * witness.omega % m
     import jax
+    import os
 
-    if jax.default_backend() != "cpu" and n >= pcdl.DEVICE_OPEN_MIN:
+    # tri-state override so the pair-open glue is CPU-testable byte-for-byte
+    # against the sequential path (advisor r4): HALO_TPU_FORCE_PAIR_OPEN=1
+    # forces the pair branch, =0 forces sequential, unset = size/backend gate
+    _force = os.environ.get("HALO_TPU_FORCE_PAIR_OPEN")
+    use_pair = (_force == "1" if _force in ("0", "1")
+                else jax.default_backend() != "cpu" and n >= pcdl.DEVICE_OPEN_MIN)
+    if use_pair:
         # paired device open: both commitments in one batched MSM dispatch,
         # both evals on device, and the two fold loops in lockstep (each
         # round: ONE 4-way MSM dispatch + one host pull, see ops/ipa.py

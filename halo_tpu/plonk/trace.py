@@ -97,7 +97,64 @@ def build_sigma(m: int, eqs: list[list[SlotId]], rows: int):
 # reused.  Keyed by the circuit's (collision-resistant) commitment points.
 # Profiled at 2^16 rows: 82 of the 116 per-step interpolations (and the
 # build_sigma pass) are eliminated, ~45 s/IVC-step warm.
-_STATIC_TRACE_CACHE: dict = {}
+_STATIC_TRACE_CACHE: dict = {}  # LRU, capped by config.trace_cache_entries
+
+
+def _trace_cache_put(key, entry) -> None:
+    """Insert with LRU eviction: each entry pins large host poly lists plus
+    (k, n, 16) device buffers (~hundreds of MB at 2^16 rows), so a
+    long-lived process proving many DISTINCT frozen circuits must not grow
+    this without bound (advisor r4)."""
+    from ..config import get_config
+
+    cap = max(1, get_config().trace_cache_entries)
+    _STATIC_TRACE_CACHE.pop(key, None)
+    _STATIC_TRACE_CACHE[key] = entry
+    while len(_STATIC_TRACE_CACHE) > cap:
+        _STATIC_TRACE_CACHE.pop(next(iter(_STATIC_TRACE_CACHE)))
+
+
+def _trace_cache_get(key):
+    entry = _STATIC_TRACE_CACHE.pop(key, None)
+    if entry is not None:
+        _STATIC_TRACE_CACHE[key] = entry  # LRU touch
+    return entry
+
+
+class LazyHostPolys:
+    """List-like view over a (k, n, 16) device Montgomery limb stack that
+    converts to host int lists only on first access.
+
+    The device prover consumes the device mirrors directly, so the warm IVC
+    step never pays the ~36 MB device->host pull + int re-assembly of the
+    16 witness polynomials (profiled 9.6 s/step through the tunnel); the
+    host prover (or any host consumer) transparently materializes once."""
+
+    def __init__(self, m: int, dev):
+        self._m = m
+        self._dev = dev
+        self._host: list[list[int]] | None = None
+
+    def _materialize(self) -> list[list[int]]:
+        if self._host is None:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from ..ops import ff
+
+            ctx = ff.ctx_for(self._m)
+            host = np.asarray(jnp.asarray(ff.from_mont_jit(ctx, self._dev), jnp.uint16))
+            self._host = [ff.array_to_ints(host[i]) for i in range(host.shape[0])]
+        return self._host
+
+    def __len__(self) -> int:
+        return int(self._dev.shape[0])
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __iter__(self):
+        return iter(self._materialize())
 
 
 def _static_key(cfg: CurveCfg, circuit: PlonkCircuit):
@@ -144,7 +201,7 @@ class Trace:
         d = n - 1
         omega = domain_element(m, n, 1)
 
-        cached = _STATIC_TRACE_CACHE.get(_static_key(cfg, circuit)) if circuit else None
+        cached = _trace_cache_get(_static_key(cfg, circuit)) if circuit else None
         if cached is not None:
             sigma = cached["sigma"]
             id_polys, sigma_polys = cached["id_polys"], cached["sigma_polys"]
@@ -162,24 +219,30 @@ class Trace:
             id_polys = static_polys[n_q + n_r : n_q + n_r + n_s]
             sigma_polys = static_polys[n_q + n_r + n_s :]
             if circuit is not None:
-                _STATIC_TRACE_CACHE[_static_key(cfg, circuit)] = {
+                _trace_cache_put(_static_key(cfg, circuit), {
                     "sigma": sigma,
                     "id_polys": id_polys,
                     "sigma_polys": sigma_polys,
                     "q_polys": q_polys,
                     "r_polys": r_polys,
                     "dev": static_dev,
-                }
+                })
 
         pi = list(data.public_inputs) + [0] * (n - len(data.public_inputs))
         pi = [(-x) % m for x in pi]
         pi_evals = HostEvals.from_vec_and_domain(m, pi)
 
         w_evals = [HostEvals.from_vec_and_domain(m, col) for col in data.ws]
-        dyn_polys, w_dev, w_raw_dev = interpolate_evals_batch(
-            w_evals + [pi_evals], want_dev=True)
-        w_polys = dyn_polys[: len(w_evals)]
-        pi_poly = dyn_polys[len(w_evals)]
+        # The witness polys' host ints are only needed by host-tier
+        # consumers; interpolate on device WITHOUT the pull and hand out a
+        # lazy view (the pi poly is small and always host-needed, so it is
+        # interpolated separately with the pull).
+        w_host, w_dev, w_raw_dev = interpolate_evals_batch(
+            w_evals, want_dev=True, want_host=False)
+        pi_host, _, _ = interpolate_evals_batch([pi_evals], want_dev=True)
+        pi_poly = pi_host[0]
+        # small n falls back to host NTTs, which still fill w_host
+        w_polys = LazyHostPolys(m, w_dev) if w_dev is not None else w_host
 
         dev_polys = None
         if static_dev is not None and w_dev is not None:
@@ -189,8 +252,8 @@ class Trace:
                 "rs": static_dev[n_q : n_q + n_r],
                 "ids": static_dev[n_q + n_r : n_q + n_r + n_s],
                 "sigmas": static_dev[n_q + n_r + n_s :],
-                "ws": w_dev[: len(w_evals)],
-                "w_evals": w_raw_dev[: len(w_evals)],
+                "ws": w_dev,
+                "w_evals": w_raw_dev,
             }
 
         if circuit is not None:

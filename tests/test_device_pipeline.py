@@ -142,6 +142,36 @@ def test_device_prover_matches_host():
     protocol.verify(PALLAS, dev, circuit, pub)
 
 
+def test_pair_open_branch_matches_sequential(monkeypatch):
+    """The round-5 pair-open integration glue (commit_batch C, device evals,
+    Instance assembly) byte-equals the sequential Instance.open path.  The
+    gate is injectable via HALO_TPU_FORCE_PAIR_OPEN so this runs on CPU
+    (advisor r4: previously only hardware IVC runs exercised the branch)."""
+    from halo_tpu.plonk import protocol
+    from halo_tpu.plonk.circuit import CircuitSpec, TraceBuilder
+    from halo_tpu.plonk.trace import trace_pair
+
+    spec = CircuitSpec()
+    x = spec.fp_witness()
+    y = spec.fp_witness()
+    out = spec.mul_gate(spec.add_gate(x, y), x)
+    for _ in range(500):  # ~512 rows: the device IPA fold needs >= 16 lanes
+        out = spec.add_gate(out, x)
+    spec.output_gate(out)
+    tb = TraceBuilder(spec)
+    tb.witness(x, 3)
+    tb.witness(y, 4)
+    fp_trace, _ = trace_pair(tb)
+    circuit, pub, w = fp_trace.consume()
+
+    monkeypatch.setenv("HALO_TPU_FORCE_PAIR_OPEN", "0")
+    seq = protocol.naive_prover(PALLAS, circuit, pub, w, device=True)
+    monkeypatch.setenv("HALO_TPU_FORCE_PAIR_OPEN", "1")
+    pair = protocol.naive_prover(PALLAS, circuit, pub, w, device=True)
+    assert pair.to_bytes(PALLAS) == seq.to_bytes(PALLAS)
+    protocol.verify(PALLAS, pair, circuit, pub)
+
+
 def test_engine_grand_product():
     eng = engine_for(PALLAS)
     m = PALLAS.r

@@ -6,9 +6,12 @@ accounted for by the device prover) to direct the optimization work.
 
 import cProfile
 import io
+import os
 import pstats
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from halo_tpu.frontend import ivc
 
