@@ -44,7 +44,9 @@ def _build() -> ctypes.CDLL | None:
     so = _CACHE / f"pasta_native-{tag}.so"
     if not so.exists():
         _CACHE.mkdir(parents=True, exist_ok=True)
-        tmp = so.with_suffix(".so.tmp")
+        # pid-unique tmp: concurrent builders (pytest-xdist workers) must not
+        # rename each other's tmp away mid-build
+        tmp = so.with_suffix(f".so.{os.getpid()}.tmp")
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
             "-o", str(tmp), str(_SRC), "-pthread",
@@ -120,7 +122,7 @@ def _build_fastlimbs():
     so = _CACHE / f"fastlimbs-{tag}.so"
     if not so.exists():
         _CACHE.mkdir(parents=True, exist_ok=True)
-        tmp = so.with_suffix(".so.tmp")
+        tmp = so.with_suffix(f".so.{os.getpid()}.tmp")
         cmd = [
             "gcc", "-O2", "-shared", "-fPIC",
             "-I", sysconfig.get_paths()["include"],

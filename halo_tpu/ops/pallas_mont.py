@@ -503,6 +503,172 @@ _KERNELS = {
 }
 
 
+# ---------------- jnp fallback tier (CPU meshes) ---------------- #
+#
+# Opt-in (HALO_TPU_ROWS_JNP=1, CPU backend only) replacements for the
+# kernels above, built on the v1 jnp field tier (ops/ff.py): the SAME
+# RCB-2015 complete-addition formulas in the same operation order, but with
+# canonical [0, p) representatives (a subset of the quasi-2p domain), so
+# every output is congruent mod p and the projective points are the same
+# group elements — affine results and proof bytes are identical.
+#
+# Why it exists: interpret-mode Pallas turns each kernel body into a huge
+# XLA:CPU subgraph; one sharded-MSM executable costs minutes of compile on
+# a small-host CPU mesh (and the persistent cache re-codegens on load, so
+# it never amortizes).  The multi-chip DRYRUN uses this tier to validate
+# the production v2 pipeline + collectives in seconds; interpret-mode
+# kernel validation stays with tests/test_pallas_mont.py and the slow
+# tests in tests/test_parallel.py.
+
+
+def rows_jnp_enabled() -> bool:
+    import os
+
+    return _is_cpu() and os.environ.get("HALO_TPU_ROWS_JNP") == "1"
+
+
+@lru_cache(maxsize=8)
+def _j_field(p: int):
+    from . import ff as _ff
+
+    return _ff.ctx_for(p)
+
+
+def _j_helpers(ctx: MontCtx):
+    from . import ff as _ff
+
+    f = _j_field(ctx.p)
+    b3 = jnp.asarray(ctx.b3_rows[:, 0][None])  # (1, 16): Mont form of 3b
+
+    def mm(a, b):
+        return _ff.mont_mul(f, a, b)
+
+    def fadd(a, b):
+        return _ff.add(f, a, b)
+
+    def fsub(a, b):
+        return _ff.sub(f, a, b)
+
+    def mm_b3(x):
+        return _ff.mont_mul(f, x, b3)
+
+    return f, mm, fadd, fsub, mm_b3
+
+
+def _j_pmadd_core(ctx: MontCtx, X1, Y1, Z1, x2, y2):
+    """Mixed add on (N, 16) canonical-Montgomery limbs (mirrors
+    _pmadd_kernel op for op)."""
+    _, mm, fadd, fsub, mm_b3 = _j_helpers(ctx)
+    t0 = mm(X1, x2)
+    t1 = mm(Y1, y2)
+    t3 = fsub(mm(fadd(X1, Y1), fadd(x2, y2)), fadd(t0, t1))
+    t4 = fadd(Y1, mm(Z1, y2))
+    t5 = fadd(X1, mm(Z1, x2))
+    t0 = fadd(fadd(t0, t0), t0)
+    t2 = mm_b3(Z1)
+    Z3 = fadd(t1, t2)
+    t1 = fsub(t1, t2)
+    t5 = mm_b3(t5)
+    X3 = fsub(mm(t3, t1), mm(t4, t5))
+    Y3 = fadd(mm(t1, Z3), mm(t5, t0))
+    Z3n = fadd(mm(Z3, t4), mm(t0, t3))
+    return X3, Y3, Z3n
+
+
+def _j_padd_core(ctx: MontCtx, X1, Y1, Z1, X2, Y2, Z2):
+    """Complete projective add (mirrors _padd_kernel)."""
+    _, mm, fadd, fsub, mm_b3 = _j_helpers(ctx)
+    t0 = mm(X1, X2)
+    t1 = mm(Y1, Y2)
+    t2 = mm(Z1, Z2)
+    t3 = fsub(mm(fadd(X1, Y1), fadd(X2, Y2)), fadd(t0, t1))
+    t4 = fsub(mm(fadd(Y1, Z1), fadd(Y2, Z2)), fadd(t1, t2))
+    Y3 = fsub(mm(fadd(X1, Z1), fadd(X2, Z2)), fadd(t0, t2))
+    t0 = fadd(fadd(t0, t0), t0)
+    t2 = mm_b3(t2)
+    Z3 = fadd(t1, t2)
+    t1 = fsub(t1, t2)
+    Y3 = mm_b3(Y3)
+    X3 = fsub(mm(t3, t1), mm(t4, Y3))
+    Y3n = fadd(mm(t1, Z3), mm(Y3, t0))
+    Z3n = fadd(mm(Z3, t4), mm(t0, t3))
+    return X3, Y3n, Z3n
+
+
+def _j_pdbl_core(ctx: MontCtx, X, Y, Z):
+    """Complete doubling (mirrors _pdbl_kernel)."""
+    _, mm, fadd, fsub, mm_b3 = _j_helpers(ctx)
+    t0 = mm(Y, Y)
+    Z3 = fadd(t0, t0)
+    Z3 = fadd(Z3, Z3)
+    Z3 = fadd(Z3, Z3)
+    t1 = mm(Y, Z)
+    t2 = mm(Z, Z)
+    t2 = mm_b3(t2)
+    X3 = mm(t2, Z3)
+    Y3 = fadd(t0, t2)
+    Z3 = mm(t1, Z3)
+    t1 = fadd(t2, t2)
+    t2 = fadd(t1, t2)
+    t0 = fsub(t0, t2)
+    Y3 = mm(t0, Y3)
+    Y3 = fadd(X3, Y3)
+    t1 = mm(X, Y)
+    X3 = mm(t0, t1)
+    X3 = fadd(X3, X3)
+    return X3, Y3, Z3
+
+
+def _t(x):
+    return jnp.transpose(x)
+
+
+def _j_canon(ctx: MontCtx, a):
+    """Fallback values are canonical by construction; reduce defensively in
+    case an input was produced in the quasi-2p domain (e.g. mixed tiers)."""
+    from . import ff as _ff
+
+    at = _t(a)
+    p2 = int_to_limbs(2 * ctx.p) if 2 * ctx.p < (1 << 256) else None
+    if p2 is not None:
+        at = _ff._sub_if_ge(at, jnp.asarray(p2))
+    at = _ff._sub_if_ge(at, jnp.asarray(int_to_limbs(ctx.p)))
+    return _t(at)
+
+
+def _j_run(ctx: MontCtx, kind: str, arrays) -> tuple:
+    from . import ff as _ff
+
+    f = _j_field(ctx.p)
+    if kind == "mm" or kind == "mulc":
+        a, b = arrays
+        return _t(_ff.mont_mul(f, _t(a), _t(b)))
+    if kind == "canon":
+        return _j_canon(ctx, arrays[0])
+    if kind == "bfly":
+        e, o, tw = (_t(x) for x in arrays)
+        t = _ff.mont_mul(f, o, tw)
+        return _t(_ff.add(f, e, t)), _t(_ff.sub(f, e, t))
+    if kind == "padd":
+        out = _j_padd_core(ctx, *(_t(x) for x in arrays))
+        return tuple(_t(c) for c in out)
+    if kind == "pmadd":
+        out = _j_pmadd_core(ctx, *(_t(x) for x in arrays))
+        return tuple(_t(c) for c in out)
+    if kind == "pdbl":
+        out = _j_pdbl_core(ctx, *(_t(x) for x in arrays))
+        return tuple(_t(c) for c in out)
+    if kind == "pmadd_pack":
+        X1, Y1, Z1, pack, sign = arrays
+        x2 = pack & MASK
+        y0 = pack >> 16
+        py = _t(_ff.neg(f, _t(y0)))  # y != 0 on a prime-order curve
+        y2 = jnp.where(sign != 0, py, y0)
+        out = _j_pmadd_core(ctx, _t(X1), _t(Y1), _t(Z1), _t(x2), _t(y2))
+        return tuple(_t(c) for c in out)
+    raise ValueError(f"unknown kernel kind {kind!r}")
+
+
 # ---------------- host-facing wrappers ---------------- #
 
 
@@ -598,6 +764,8 @@ def _run(ctx: MontCtx, kind: str, arrays) -> tuple:
     """arrays: tuple of (16, N) uint32; N padded to BLK multiple by caller."""
     n = arrays[0].shape[1]
     assert n % BLK == 0, n
+    if rows_jnp_enabled():
+        return _j_run(ctx, kind, arrays)
     return _build_call(ctx, kind, n, _is_cpu())(*arrays)
 
 

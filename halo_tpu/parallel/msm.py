@@ -209,9 +209,14 @@ def msm2_srs_rows_sharded(cfg: CurveCfg, mesh: Mesh, K_batch, n_req: int,
 
 
 def msm2_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Affine],
-                 c_bits: int = 8, min_per: int = 512) -> Affine:
+                 c_bits: int = 8, min_per: int = 512, use_multi: bool = False) -> Affine:
     """Host-facing v2 sharded MSM: pads to a per-chip power of two, shards
-    the packed rows on the lane axis, ring-reduces window aggregates."""
+    the packed rows on the lane axis, ring-reduces window aggregates.
+
+    use_multi: dispatch through the k-batched pipeline (k=1) instead of the
+    single-MSM one — same math, but shares its compiled executable with the
+    Engine's mesh commit path (msm2_srs_rows_sharded), which the multi-chip
+    dryrun exploits to pay ONE interpret-mode compile for both stages."""
     from ..ops import msm2
     from jax.sharding import NamedSharding
 
@@ -225,8 +230,13 @@ def msm2_sharded(cfg: CurveCfg, mesh: Mesh, scalars: list[int], points: list[Aff
     xy, inf = msm2.pack_points(cfg, pts)
     K = msm2._scalars_rows(cfg, ks, inf)
     sh = NamedSharding(mesh, PartitionSpec(None, "data"))
-    fn = sharded_msm2_fn(cfg, mesh, per, c_bits)
-    out_cols = fn(jax.device_put(xy, sh), jax.device_put(K, sh))
+    if use_multi:
+        shk = NamedSharding(mesh, PartitionSpec(None, None, "data"))
+        fn = sharded_msm2_multi_fn(cfg, mesh, per, 1, c_bits)
+        out_cols = fn(jax.device_put(xy, sh), jax.device_put(K[None], shk))
+    else:
+        fn = sharded_msm2_fn(cfg, mesh, per, c_bits)
+        out_cols = fn(jax.device_put(xy, sh), jax.device_put(K, sh))
     rows = tuple(jnp.transpose(c).reshape(NLIMBS, -1, 2) for c in out_cols)
     return msm2._combine_host(cfg, rows, c_bits)
 

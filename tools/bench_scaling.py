@@ -64,6 +64,10 @@ def main() -> None:
                     help="join a jax.distributed cluster (env JAX_COORDINATOR_"
                          "ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID) and run the "
                          "sharded MSM on the GLOBAL mesh (the DCN code path)")
+    ap.add_argument("--out", type=str, default=None,
+                    help="summary JSON path (default: the committed repo "
+                         "artifact; tests pass a tmp path so they never "
+                         "clobber committed evidence)")
     args = ap.parse_args()
 
     if args.multihost:
@@ -114,7 +118,7 @@ def main() -> None:
             mesh = multihost.global_data_mesh()
         else:
             mesh = pmesh.data_mesh(d)
-        use_v2 = args.tier == "v2" and not args.multihost
+        use_v2 = args.tier == "v2"
         if use_v2:
             from halo_tpu.ops import msm2 as msm2_mod
             from jax.sharding import NamedSharding, PartitionSpec
@@ -122,14 +126,29 @@ def main() -> None:
             xy_pack, _inf = msm2_mod.pack_points(cfg, pts)
             fn2 = pmsm.sharded_msm2_fn(cfg, mesh, n // d)
             sh2 = NamedSharding(mesh, PartitionSpec(None, "data"))
-            xy_sh = jax.device_put(xy_pack, sh2)
+            if args.multihost:
+                # multi-controller: each process contributes its local lane
+                # slice of the packed rows
+                pidx, nproc = jax.process_index(), jax.process_count()
+                lo, hi = pidx * n // nproc, (pidx + 1) * n // nproc
+                xy_sh = jax.make_array_from_process_local_data(
+                    sh2, np.asarray(xy_pack)[:, lo:hi])
+            else:
+                xy_sh = jax.device_put(xy_pack, sh2)
         else:
             fn = pmsm.sharded_msm_fn(ctx, mesh, lanes, naive=(n // d < 4096))
 
         def run(K):
             if use_v2:
-                Krows = jnp.transpose(jnp.asarray(K))
-                out_cols = fn2(xy_sh, jax.device_put(Krows, sh2))
+                Krows = np.asarray(K).T
+                if args.multihost:
+                    pidx, nproc = jax.process_index(), jax.process_count()
+                    lo, hi = pidx * n // nproc, (pidx + 1) * n // nproc
+                    Kd = jax.make_array_from_process_local_data(
+                        sh2, Krows[:, lo:hi])
+                else:
+                    Kd = jax.device_put(jnp.asarray(Krows), sh2)
+                out_cols = fn2(xy_sh, Kd)
                 return jax.device_get(out_cols)
             if args.multihost:
                 # multi-controller: build each host's shard locally
@@ -185,7 +204,7 @@ def main() -> None:
 
     if args.multihost and jax.process_index() != 0:
         return
-    out_path = Path(__file__).resolve().parents[1] / (
+    out_path = Path(args.out) if args.out else Path(__file__).resolve().parents[1] / (
         "BENCH_SCALING_MULTIHOST.json" if args.multihost else "BENCH_SCALING.json")
     out_path.write_text(json.dumps({
         "note": "virtual CPU mesh: measures sharding+collective overhead and "
