@@ -49,6 +49,18 @@ from .ff import NLIMBS, U32
 # c=16 aggregation would dominate 2*lg n calls)
 FOLD_C_BITS = 8
 
+# scan stride for the fold MSMs (msm2._msm2_multi stride=...): folding S
+# sorted points per scan step with masked boundary fix-ups.  ABLATION
+# (round 5, on-chip): stride=8 measured 3.33 s vs 3.26 s at stride=1 for
+# the 2^16 open — no win, because the scan step is VPU-COMPUTE-bound
+# (13 Montgomery muls x 32k lanes ~ 1.5 ms), not dispatch-latency-bound;
+# striding moves the same muls into longer steps and adds fix-up work.
+# This independently confirms the round-4 roofline note: further gains
+# need a cheaper point representation (fewer muls per add), not fewer
+# dispatches.  The machinery stays (tested in tests/test_msm2.py) for
+# hardware where step latency dominates.
+FOLD_STRIDE = 1
+
 
 def _fold_lanes(n_msm: int) -> int:
     """Wider lanes than the standalone MSM default: the fold runs 2*lg(n)
@@ -81,9 +93,11 @@ def _round_msms_jit(mctx: pk.MontCtx, fctx, n: int,
     sR = jnp.where(vmask, ff.from_mont(fctx, ff.mont_mul(fctx, gw[idxR], cs[cspR])), 0)
     lanes = _fold_lanes(n_msm)
     SL = msm2._msm2_device(mctx, n_msm, lanes, FOLD_C_BITS,
-                           xy_pack[:, idxL], jnp.transpose(sL))
+                           xy_pack[:, idxL], jnp.transpose(sL),
+                           stride=FOLD_STRIDE)
     SR = msm2._msm2_device(mctx, n_msm, lanes, FOLD_C_BITS,
-                           xy_pack[:, idxR], jnp.transpose(sR))
+                           xy_pack[:, idxR], jnp.transpose(sR),
+                           stride=FOLD_STRIDE)
     return _chunk_sum_jit(dl), _chunk_sum_jit(dr), SL, SR
 
 
@@ -106,7 +120,8 @@ def _fold_state_jit(fctx, n: int, cs, zs, gw, h, xi_mont, xi_inv_mont):
 def _u_msm_jit(mctx: pk.MontCtx, fctx, n: int, c_bits: int, xy_pack, gw):
     K = jnp.transpose(ff.from_mont(fctx, gw))
     lanes = _fold_lanes(n)
-    return msm2._msm2_device(mctx, n, lanes, c_bits, xy_pack, K)
+    return msm2._msm2_device(mctx, n, lanes, c_bits, xy_pack, K,
+                             stride=FOLD_STRIDE)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
@@ -133,7 +148,8 @@ def _round_msms_pair_jit(mctx: pk.MontCtx, fctx, n: int,
     K4 = jnp.stack([sL[0], sR[0], sL[1], sR[1]])
     K4 = jnp.transpose(K4, (0, 2, 1))
     lanes = _fold_lanes(n // 2)
-    S = msm2._msm2_multi(mctx, n, lanes, FOLD_C_BITS, n // 2, xy_pack, K4)
+    S = msm2._msm2_multi(mctx, n, lanes, FOLD_C_BITS, n // 2, xy_pack, K4,
+                         stride=FOLD_STRIDE)
     return _chunk_sum_jit(dl), _chunk_sum_jit(dr), S
 
 
@@ -156,7 +172,8 @@ def _fold_state_pair_jit(fctx, n: int, cs, zs, gw, h, xi_mont, xi_inv_mont):
 def _u_msm_pair_jit(mctx: pk.MontCtx, fctx, n: int, c_bits: int, xy_pack, gw):
     K = jnp.transpose(ff.from_mont(fctx, gw), (0, 2, 1))  # (2, 16, n)
     lanes = _fold_lanes(n)
-    return msm2._msm2_multi(mctx, n, lanes, c_bits, 0, xy_pack, K)
+    return msm2._msm2_multi(mctx, n, lanes, c_bits, 0, xy_pack, K,
+                            stride=FOLD_STRIDE)
 
 
 @lru_cache(maxsize=32)

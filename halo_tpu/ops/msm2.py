@@ -276,6 +276,24 @@ def _padd_shaped(mctx, P, Q):
                      mctx, [*P, *Q], shape)
 
 
+def _pmadd_pack_shaped(mctx, P, pack, sign):
+    """Masked-boundary mixed add on shaped operands: P tuple of (16, ...),
+    pack (16, ...) packed affine rows, sign (...) 0/1.  Pad lanes carry
+    garbage affine data; complete formulas make that safe (outputs of pad
+    lanes are discarded by the caller)."""
+    shape = P[0].shape[1:]
+    flat = [c.reshape(NLIMBS, -1) for c in (*P, pack)]
+    sflat = sign.reshape(1, -1).astype(U32)
+    n = flat[0].shape[1]
+    npad = max(pk.BLK, -(-n // pk.BLK) * pk.BLK)
+    if npad != n:
+        flat = [jnp.concatenate([c, jnp.zeros((NLIMBS, npad - n), U32)], axis=1)
+                for c in flat]
+        sflat = jnp.concatenate([sflat, jnp.zeros((1, npad - n), U32)], axis=1)
+    out = pk.pmadd_pack_rows(mctx, tuple(flat[:3]), flat[3], sflat)
+    return tuple(o[:, :n].reshape(NLIMBS, *shape) for o in out)
+
+
 def _tree_sum(mctx, P, axis_len: int):
     """Sum a tuple of (16, W, m) points over the last axis via halvings."""
     cur = P
@@ -321,9 +339,9 @@ def _excl_prefix(mctx, T, L: int):
     return E
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4), static_argnames=("stride",))
 def _msm2_multi(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int, skip: int,
-                xy_pack: jnp.ndarray, K_multi: jnp.ndarray):
+                xy_pack: jnp.ndarray, K_multi: jnp.ndarray, *, stride: int = 1):
     """Batched full device pipeline: K_multi (k, 16, n) canonical scalar
     rows, ONE sort/gather/scan/aggregate dispatch for all k MSMs over the
     SAME point pack (their windows simply stack: kW total).  Returns
@@ -334,7 +352,15 @@ def _msm2_multi(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int, skip: int,
     window (e.g. the IPA fold's masked halves: every window of a scalar
     vector that is zero outside an n/2 support has >= n/2 zero keys, which
     sort to the front).  This makes an L/R fold round ONE half-work
-    dispatch instead of two compacted MSMs with index gathers."""
+    dispatch instead of two compacted MSMs with index gathers.
+
+    `stride` (static): fold `stride` sorted points per scan step.  Each
+    scan step costs ~1.5 ms of fixed dispatch latency on-chip regardless
+    of lane width (round-5 profile: the IPA fold round was 100 ms of scan
+    for 6 ms of everything else), so striding cuts the dominant cost by
+    ~stride at the price of (stride - 1) small masked fix-up adds at the
+    bucket boundaries (the scan then only materializes every stride-th
+    prefix, which also divides the P_all HBM write traffic)."""
     windows, dmax = _cfg_for_c(c_bits)
     k = K_multi.shape[0]
     W2 = k * windows
@@ -342,6 +368,7 @@ def _msm2_multi(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int, skip: int,
     L = lanes
     R = n_live // L
     F = W2 * L
+    S = stride if stride > 1 and R % stride == 0 else 1
 
     ks_list, sg_list = [], []
     for i in range(k):
@@ -366,16 +393,30 @@ def _msm2_multi(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int, skip: int,
     gathered = xy_pack[:, gidx]  # (16, R, W2, L)
     gathered = jnp.moveaxis(gathered, 1, 0).reshape(R, NLIMBS, F)
 
-    # prefix scan: plain running mixed-add, emits every prefix
+    # prefix scan: running mixed-add folding S sorted points per step,
+    # emitting every S-th (inclusive) prefix
     acc0 = _identity_rows(mctx, (F,))
 
-    def body(acc, inp):
-        pack_t, sign_t = inp
-        acc = pk.pmadd_pack_rows(mctx, acc, pack_t, sign_t)
-        return acc, acc
+    if S == 1:
+        def body(acc, inp):
+            pack_t, sign_t = inp
+            acc = pk.pmadd_pack_rows(mctx, acc, pack_t, sign_t)
+            return acc, acc
 
-    accT, P_all = jax.lax.scan(body, acc0, (gathered, sgn))
-    # P_all: tuple of (R, 16, F); accT: lane totals (16, F)
+        accT, P_sup = jax.lax.scan(body, acc0, (gathered, sgn))
+    else:
+        gS = gathered.reshape(R // S, S, NLIMBS, F)
+        sS = sgn.reshape(R // S, S, 1, F)
+
+        def body(acc, inp):
+            packs, signs = inp
+            for j in range(S):
+                acc = pk.pmadd_pack_rows(mctx, acc, packs[j], signs[j])
+            return acc, acc
+
+        accT, P_sup = jax.lax.scan(body, acc0, (gS, sS))
+    # P_sup: tuple of (R/S, 16, F) prefixes at positions S-1, 2S-1, ...;
+    # accT: lane totals (16, F)
 
     # exclusive prefix over lanes within each window
     T = tuple(c.reshape(NLIMBS, W2, L) for c in accT)
@@ -398,7 +439,29 @@ def _msm2_multi(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int, skip: int,
 
     warr = jnp.arange(W2, dtype=jnp.int32)[:, None]
     colq = warr * L + lq  # (W2, q)
-    Pg = tuple(jnp.moveaxis(c[tq, :, colq], -1, 0) for c in P_all)  # (16, W2, q)
+    if S == 1:
+        Pg = tuple(jnp.moveaxis(c[tq, :, colq], -1, 0) for c in P_sup)  # (16, W2, q)
+    else:
+        # inclusive prefix at sorted position tq = last full super-step's
+        # emitted prefix + up to S-1 masked fix-up adds of the skipped points
+        ns = (tq + 1) // S       # completed super-steps
+        rem = (tq + 1) % S
+        supq = jnp.maximum(ns - 1, 0)
+        Pg = tuple(jnp.moveaxis(c[supq, :, colq], -1, 0) for c in P_sup)
+        identq = _identity_rows(mctx, Pg[0].shape[1:])
+        has_base = ns >= 1
+        Pg = tuple(jnp.where(has_base[None], pc, ic) for pc, ic in zip(Pg, identq))
+        permWLR = perm.reshape(W2, L, R)
+        signWLR = sign_s.reshape(W2, L, R)
+        base_pos = ns * S
+        for j in range(S - 1):
+            posq = jnp.minimum(base_pos + j, R - 1)
+            idxf = permWLR[warr, lq, posq]   # (W2, q) original point index
+            packs = xy_pack[:, idxf]         # (16, W2, q)
+            sgf = signWLR[warr, lq, posq]
+            added = _pmadd_pack_shaped(mctx, Pg, packs, sgf)
+            usej = j < rem
+            Pg = tuple(jnp.where(usej[None], ac, pc) for ac, pc in zip(added, Pg))
     Lxg = tuple(c[:, warr, lq] for c in Lx)  # (16, W2, q)
     Q = _padd_shaped(mctx, Lxg, Pg)
     ident = _identity_rows(mctx, Q[0].shape[1:])
@@ -410,9 +473,10 @@ def _msm2_multi(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int, skip: int,
 
 
 def _msm2_device(mctx: pk.MontCtx, n: int, lanes: int, c_bits: int,
-                 xy_pack: jnp.ndarray, K_rows: jnp.ndarray):
+                 xy_pack: jnp.ndarray, K_rows: jnp.ndarray, stride: int = 1):
     """Single-MSM pipeline; returns (16, W, 2) [sum_{d<dmax} Q_d, Q_top]."""
-    return _msm2_multi(mctx, n, lanes, c_bits, 0, xy_pack, K_rows[None])
+    return _msm2_multi(mctx, n, lanes, c_bits, 0, xy_pack, K_rows[None],
+                       stride=stride)
 
 
 # ---------------- host orchestration ---------------- #

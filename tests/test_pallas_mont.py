@@ -132,3 +132,43 @@ def test_pmadd_and_pack_and_pdbl():
     dbl_in = [pts[0], None, pts[6]]
     got3 = _rows_to_aff(cfg, pm.pdbl_rows(ctx, _pt_rows(cfg, dbl_in)), len(dbl_in))
     assert got3 == [_py_add(p, x, x) for x in dbl_in]
+
+
+def test_jnp_fallback_tier_matches(monkeypatch):
+    """HALO_TPU_ROWS_JNP=1: the jnp fallback tier (used by CPU-mesh
+    dryruns, where interpret-mode compiles cost minutes) must produce the
+    same group elements / field residues as the kernels.  Field values are
+    compared mod p (fallback keeps canonical representatives; the kernels
+    the quasi-2p domain), points as affine."""
+    monkeypatch.setenv("HALO_TPU_ROWS_JNP", "1")
+    assert pm.rows_jnp_enabled()
+    cfg = PALLAS
+    p = cfg.p
+    ctx = pm.mont_ctx(p, cfg.b)
+    rng = np.random.default_rng(43)
+    a = [int.from_bytes(rng.bytes(32), "little") % p for _ in range(N)]
+    b = [int.from_bytes(rng.bytes(32), "little") % p for _ in range(N)]
+    got = _from_rows(pm.canon_rows(ctx, pm.mm_rows(ctx, _to_rows(a), _to_rows(b))))
+    rinv = pow(R256, -1, p)
+    assert [g % p for g in got] == [ai * bi * rinv % p for ai, bi in zip(a, b)]
+
+    pts = _gen_points(cfg, 8)
+    proj = [pts[0], None, pts[3], pts[4], pts[4]]
+    aff = [pts[1], pts[2], pts[3], (pts[4][0], p - pts[4][1]), pts[5]]
+    A = _pt_rows(cfg, proj)
+    ax = _to_rows([(x * R256) % p for x, _ in aff] + [(pts[0][0] * R256) % p] * (N - len(aff)))
+    ay = _to_rows([(y * R256) % p for _, y in aff] + [(pts[0][1] * R256) % p] * (N - len(aff)))
+    pack = ax | (ay << 16)
+    signs = [0, 0, 0, 0, 1]
+    sgn = jnp.asarray(np.array(signs + [0] * (N - len(signs)), np.uint32)[None, :])
+    got2 = _rows_to_aff(cfg, pm.pmadd_pack_rows(ctx, A, pack, sgn), len(proj))
+    want2 = [_py_add(p, x, (y[0], p - y[1]) if s else y)
+             for x, y, s in zip(proj, aff, signs)]
+    assert got2 == want2
+
+    got3 = _rows_to_aff(cfg, pm.pdbl_rows(ctx, _pt_rows(cfg, proj)), len(proj))
+    assert got3 == [_py_add(p, x, x) for x in proj]
+    got4 = _rows_to_aff(
+        cfg, pm.padd_rows(ctx, _pt_rows(cfg, proj), _pt_rows(cfg, [pts[5], pts[6], None, pts[4], (pts[4][0], p - pts[4][1])])), len(proj))
+    want4 = [_py_add(p, x, y) for x, y in zip(proj, [pts[5], pts[6], None, pts[4], (pts[4][0], p - pts[4][1])])]
+    assert got4 == want4
